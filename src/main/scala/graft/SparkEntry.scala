@@ -1,13 +1,60 @@
 package graft
+
+import graft.core._
+import graft.ops._
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query;
+  * where the semantics are ANSI-SQL-expressible the matching DuckDB oracle
+  * is in `oracleSql` (column names aligned pairwise). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: golden-bbox clip of the MODIS-grid synthetic raster
+    * (SURVEY.md §7.2 minimum end-to-end slice). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.qClipBox(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_clip_box" -> (Queries.qClipBox _),
+    "q_clip_box_large" -> (Queries.qClipBoxLarge _),
+    "q_isel_window" -> (Queries.qIselWindow _),
+    "q_slice_xy" -> (Queries.qSliceXy _),
+    "q_pad_box" -> (Queries.qPadBox _),
+    "q_lineitem_agg" -> (Queries.qLineitemAgg _),
+    "q_join_broadcast" -> (Queries.qJoinBroadcast _),
+  )
+
+  def oracleSql: Map[String, String] = {
+    import Queries._
+    // pad oracle parameters derived from the same pure grid math the Spark
+    // side uses (clip window + numpy-arange pad counts)
+    val clipWin = modis.windowFromBounds(largeClip)
+    val clippedGrid = modis.windowed(clipWin)
+    val padB = {
+      val b = modis.bounds
+      val rx = math.abs(modis.resX) / 2.0; val ry = math.abs(modis.resY) / 2.0
+      Bounds(b.minx - rx, b.miny - ry, b.maxx + rx, b.maxy + ry)
+    }
+    val pc = WindowOps.padCounts(clippedGrid, padB)
+    val padGrid = WindowOps.paddedGrid(clippedGrid, pc)
+
+    // slice_xy window (same pure math as WindowOps.sliceXy)
+    val sg = modis
+    val sc0 = math.max(0, math.ceil((sliceBounds.minx - sg.transform.c) / sg.transform.a - 0.5).toInt)
+    val sc1 = math.min(sg.width, math.floor((sliceBounds.maxx - sg.transform.c) / sg.transform.a - 0.5).toInt + 1)
+    val sr0 = math.max(0, math.ceil((sliceBounds.maxy - sg.transform.f) / sg.transform.e - 0.5).toInt)
+    val sr1 = math.min(sg.height, math.floor((sliceBounds.miny - sg.transform.f) / sg.transform.e - 0.5).toInt + 1)
+
+    Map(
+      "q_clip_box" -> Oracles.clipBox(goldenClip),
+      "q_clip_box_large" -> Oracles.clipBox(largeClip),
+      "q_isel_window" -> Oracles.iselWindow(iselWin),
+      "q_slice_xy" -> Oracles.iselWindow(PixelWindow(sr0, sr1, sc0, sc1)),
+      "q_pad_box" -> Oracles.padBox(padGrid, pc.rowsBefore, pc.colsBefore,
+        clippedGrid.height, clippedGrid.width, clipWin.rowStart, clipWin.colStart),
+      "q_lineitem_agg" -> Oracles.lineitemAgg,
+      "q_join_broadcast" -> Oracles.joinBroadcast,
+    )
+  }
 }

@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: read each query's parquet
+dump from Verify, run its oracle SQL in DuckDB over the sf tables, sort by
+all columns, and compare. Usage: check_oracle.py <outDir> <sfDir>"""
+import sys, os, json, glob
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    if not files:
+        print(f"[MISS] {name}: no spark output"); fails += 1; continue
+    spark_df = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    try:
+        duck_df = con.execute(sql).df()
+    except Exception as e:
+        print(f"[ORACLE-ERR] {name}: {e}"); fails += 1; continue
+    sd = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    dd = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(sd.columns) != list(dd.columns):
+        print(f"[SCHEMA] {name}: spark={list(sd.columns)} duck={list(dd.columns)}"); fails += 1; continue
+    if len(sd) != len(dd):
+        print(f"[ROWS] {name}: spark={len(sd)} duck={len(dd)}"); fails += 1; continue
+    sd = sd.sort_values(list(sd.columns)).reset_index(drop=True)
+    dd = dd.sort_values(list(dd.columns)).reset_index(drop=True)
+    # exact compare (driver hashes values; emulate strictness)
+    try:
+        same = True
+        for c in sd.columns:
+            a, b = sd[c], dd[c].astype(sd[c].dtype)
+            if not (a.equals(b) or (a.astype(str).equals(b.astype(str)))):
+                neq = (a.astype(str) != b.astype(str))
+                print(f"[VAL] {name}.{c}: {int(neq.sum())} diffs; first: "
+                      f"spark={a[neq].iloc[0]!r} duck={b[neq].iloc[0]!r} at idx {neq.idxmax()}")
+                same = False
+        if not same: fails += 1; continue
+    except Exception as e:
+        print(f"[CMP-ERR] {name}: {e}"); fails += 1; continue
+    print(f"[OK] {name}: {len(sd)} rows")
+print("FAILURES:", fails)
+sys.exit(1 if fails else 0)
