@@ -78,6 +78,106 @@ object Queries {
       .orderBy("c_mktsegment")
   }
 
+  // ---- merge fixtures ----------------------------------------------------
+
+  /** Second synthetic raster, grid-aligned, offset (+30 rows, +50 cols). */
+  val modisB: GridRef = modis.copy(transform = modis.transform.windowed(50, 30))
+  val seedB = 777L
+
+  def mergeSources(spark: SparkSession): Seq[Raster] = Seq(
+    Raster(Synth.pixels(spark, modis), modis),
+    Raster(Synth.pixels(spark, modisB, seed = seedB), modisB))
+
+  def qMerge(method: String)(spark: SparkSession, sfDir: String): DataFrame =
+    MergeOps.merge(mergeSources(spark), method).df.orderBy("row", "col")
+
+  // ---- warp / resample ---------------------------------------------------
+
+  lazy val reprojDst: GridRef = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
+
+  def qReprojectNearest(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis), reprojDst)
+      .df.orderBy("row", "col")
+
+  def qResampleAverage(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.resampleAverage(Raster(Synth.pixels(spark, modis), modis), 4)
+      .df.orderBy("row", "col")
+
+  /** reproject_match (nearest) onto the fixture UTM grid — no SQL oracle
+    * (transverse-Mercator series in SQL); exact-checked in WarpSpec. */
+  def qReprojectMatch(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis),
+                             Synth.matchUtmGrid).df.orderBy("row", "col")
+
+  // ---- vector: clip by geometry / zonal stats -----------------------------
+
+  /** Non-convex hexagon in MODIS sinusoidal coords (vertices at pixel-
+    * fractional positions; golden-free, oracle-checked). */
+  val clipGeomWkt: String = {
+    def X(px: Double) = modis.transform.a * px + modis.transform.c
+    def Y(py: Double) = modis.transform.e * py + modis.transform.f
+    s"POLYGON ((${X(20.3)} ${Y(25.7)}, ${X(120.9)} ${Y(40.2)}, ${X(160.4)} ${Y(110.8)}, " +
+      s"${X(90.5)} ${Y(80.1)}, ${X(70.2)} ${Y(150.6)}, ${X(25.8)} ${Y(120.3)}, " +
+      s"${X(20.3)} ${Y(25.7)}))"
+  }
+  lazy val clipGeom: Geom = Geometry.parseWkt(clipGeomWkt)
+
+  val zonalGeoms: Seq[(String, String)] = {
+    def X(px: Double) = modis.transform.a * px + modis.transform.c
+    def Y(py: Double) = modis.transform.e * py + modis.transform.f
+    Seq(
+      "zone_a" -> s"POLYGON ((${X(5.2)} ${Y(5.4)}, ${X(60.7)} ${Y(8.1)}, ${X(55.3)} ${Y(70.9)}, ${X(8.8)} ${Y(60.2)}, ${X(5.2)} ${Y(5.4)}))",
+      "zone_b" -> s"POLYGON ((${X(80.1)} ${Y(20.5)}, ${X(180.6)} ${Y(30.3)}, ${X(170.2)} ${Y(90.7)}, ${X(100.9)} ${Y(95.2)}, ${X(80.1)} ${Y(20.5)}))",
+      "zone_c" -> s"POLYGON ((${X(30.4)} ${Y(130.6)}, ${X(150.8)} ${Y(140.1)}, ${X(140.3)} ${Y(190.9)}, ${X(40.7)} ${Y(180.4)}, ${X(30.4)} ${Y(130.6)}))")
+  }
+
+  def qClipGeom(spark: SparkSession, sfDir: String): DataFrame =
+    VectorOps.clipGeom(modisPixels(spark), clipGeom, drop = true)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  def qClipGeomInvert(spark: SparkSession, sfDir: String): DataFrame =
+    VectorOps.clipGeom(modisPixels(spark), clipGeom, drop = false, invert = true)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  def qZonalStats(spark: SparkSession, sfDir: String): DataFrame =
+    VectorOps.zonalStats(modisPixels(spark),
+        zonalGeoms.map { case (id, w) => id -> Geometry.parseWkt(w) })
+      .orderBy("geom_id")
+
+  // ---- cell index ---------------------------------------------------------
+
+  val cellLevel = 10
+
+  /** Every 7th pixel -> its lon/lat -> quadtree cell id (the index that keys
+    * all spatial joins; level 10 over the MODIS extent). */
+  def qCellIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val px = Synth.pixels(spark, modis).filter((col("row") * 200 + col("col")) % 7 === 0)
+    val (lon, lat) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
+    px.select(col("row"), col("col"),
+        Cells.cellIdColumn(lon, lat, cellLevel).as("cell_id"))
+      .orderBy("row", "col")
+  }
+
+  // ---- kNN ----------------------------------------------------------------
+
+  val knnK = 5
+  val nKnnQueries = 40
+  val nKnnTargets = 400
+
+  def knnQueryPoints(spark: SparkSession): DataFrame =
+    spark.range(nKnnQueries).select(col("id").as("q_id"),
+      (lit(modis.transform.a) * (lit(10.0d) + col("id") * 4.0d + 0.3d) + modis.transform.c).as("qx"),
+      (lit(modis.transform.e) * (lit(12.0d) + col("id") * 4.0d + 0.7d) + modis.transform.f).as("qy"))
+
+  def knnTargetPoints(spark: SparkSession): DataFrame =
+    spark.range(nKnnTargets).select(col("id").as("t_id"),
+      (lit(modis.transform.a) * ((col("id") % 20) * 10.0d + 0.25d) + modis.transform.c).as("tx"),
+      (lit(modis.transform.e) * (expr("id div 20") * 10.0d + 0.75d) + modis.transform.f).as("ty"))
+
+  def qKnn(spark: SparkSession, sfDir: String): DataFrame =
+    KnnOps.knnBruteForce(knnQueryPoints(spark), knnTargetPoints(spark), knnK)
+      .orderBy("q_id", "rank")
+
   // ---- oracle SQL --------------------------------------------------------
 
   object Oracles {
@@ -126,6 +226,76 @@ object Queries {
          |             CAST(i % ${newGrid.width} AS BIGINT) AS col
          |      FROM generate_series(0, ${newGrid.width.toLong * newGrid.height - 1}) g(i)) t
          |ORDER BY row, col""".stripMargin
+    }
+
+    private def pxSrcSql: String = s"SELECT row, col, value FROM ($px)"
+
+    def merge(method: String): String = {
+      val dst = MergeOps.unionGrid(Seq(modis, modisB))
+      val srcA = pxSrcSql
+      val srcB = s"SELECT row + 30 AS row, col + 50 AS col, value FROM (${Synth.pixelsSql(modisB, seedB)})"
+      MergeOps.mergeSql(dst, Seq(srcA, srcB), method)
+    }
+
+    def reprojectNearest: String =
+      WarpOps.nearestSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
+
+    def resampleAverage: String = WarpOps.resampleAverageSql(modis, 4, pxSrcSql)
+
+    def clipGeomDrop: String = {
+      val contains = VectorOps.containsSql(clipGeom, "px.x", "px.y")
+      val containsI = VectorOps.containsSql(clipGeom, "i.x", "i.y")
+      s"""WITH px AS ($px),
+         |ext AS (SELECT min(i.row) AS r0, max(i.row) AS r1,
+         |               min(i.col) AS c0, max(i.col) AS c1
+         |        FROM px i WHERE $containsI)
+         |SELECT px.row - ext.r0 AS row, px.col - ext.c0 AS col, px.x, px.y,
+         |  CASE WHEN $contains THEN px.value ELSE ${modis.nodata.toLong} END AS value
+         |FROM px, ext
+         |WHERE px.row >= ext.r0 AND px.row <= ext.r1
+         |  AND px.col >= ext.c0 AND px.col <= ext.c1
+         |ORDER BY row, col""".stripMargin
+    }
+
+    def clipGeomInvert: String = {
+      val contains = VectorOps.containsSql(clipGeom, "px.x", "px.y")
+      s"""WITH px AS ($px)
+         |SELECT px.row, px.col, px.x, px.y,
+         |  CASE WHEN NOT ($contains) THEN px.value ELSE ${modis.nodata.toLong} END AS value
+         |FROM px ORDER BY row, col""".stripMargin
+    }
+
+    def zonalStats: String = {
+      val zones = zonalGeoms.map { case (id, wkt) =>
+        val g = Geometry.parseWkt(wkt)
+        s"SELECT '$id' AS geom_id, value FROM px WHERE value <> ${modis.nodata.toLong} AND ${VectorOps.containsSql(g, "px.x", "px.y")}"
+      }
+      s"""WITH px AS ($px),
+         |z AS (${zones.mkString("\nUNION ALL\n")})
+         |SELECT geom_id, count(*) AS n_pixels, sum(value) AS sum_value,
+         |  min(value) AS min_value, max(value) AS max_value
+         |FROM z GROUP BY geom_id ORDER BY geom_id""".stripMargin
+    }
+
+    def cellIndex: String = {
+      val (r, lon0) = (6371007.181, 0.0)
+      val latE = s"(y / $r) / ${WarpOps.D2R}"
+      val lonE = s"(x / ($r * COS(y / $r))) / ${WarpOps.D2R} + $lon0"
+      s"""WITH px AS ($px)
+         |SELECT row, col, ${Cells.cellIdSql(lonE, latE, cellLevel)} AS cell_id
+         |FROM px WHERE (row*200 + col) % 7 = 0
+         |ORDER BY row, col""".stripMargin
+    }
+
+    def knn: String = {
+      val t = modis.transform
+      // CAST(i AS DOUBLE): DuckDB otherwise types `i*4.0` as DECIMAL and the
+      // squared distances overflow DECIMAL(38)
+      val qSql = s"SELECT i AS q_id, ${t.a}*(10.0 + CAST(i AS DOUBLE)*4.0 + 0.3) + ${t.c} AS qx, " +
+        s"${t.e}*(12.0 + CAST(i AS DOUBLE)*4.0 + 0.7) + ${t.f} AS qy FROM generate_series(0, ${nKnnQueries - 1}) t(i)"
+      val tSql = s"SELECT i AS t_id, ${t.a}*(CAST(i % 20 AS DOUBLE)*10.0 + 0.25) + ${t.c} AS tx, " +
+        s"${t.e}*(CAST(i // 20 AS DOUBLE)*10.0 + 0.75) + ${t.f} AS ty FROM generate_series(0, ${nKnnTargets - 1}) t(i)"
+      KnnOps.knnBruteForceSql(qSql, tSql, knnK)
     }
 
     val lineitemAgg: String =

@@ -23,6 +23,20 @@ object SparkEntry {
     "q_pad_box" -> (Queries.qPadBox _),
     "q_lineitem_agg" -> (Queries.qLineitemAgg _),
     "q_join_broadcast" -> (Queries.qJoinBroadcast _),
+    "q_merge_first" -> (Queries.qMerge("first") _),
+    "q_merge_last" -> (Queries.qMerge("last") _),
+    "q_merge_sum" -> (Queries.qMerge("sum") _),
+    "q_merge_max" -> (Queries.qMerge("max") _),
+    "q_merge_min" -> (Queries.qMerge("min") _),
+    "q_merge_count" -> (Queries.qMerge("count") _),
+    "q_reproject_nearest" -> (Queries.qReprojectNearest _),
+    "q_reproject_match" -> (Queries.qReprojectMatch _),
+    "q_resample_average" -> (Queries.qResampleAverage _),
+    "q_clip_geom" -> (Queries.qClipGeom _),
+    "q_clip_geom_invert" -> (Queries.qClipGeomInvert _),
+    "q_zonal_stats" -> (Queries.qZonalStats _),
+    "q_cell_index" -> (Queries.qCellIndex _),
+    "q_knn" -> (Queries.qKnn _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -55,6 +69,20 @@ object SparkEntry {
         clippedGrid.height, clippedGrid.width, clipWin.rowStart, clipWin.colStart),
       "q_lineitem_agg" -> Oracles.lineitemAgg,
       "q_join_broadcast" -> Oracles.joinBroadcast,
+      "q_merge_first" -> Oracles.merge("first"),
+      "q_merge_last" -> Oracles.merge("last"),
+      "q_merge_sum" -> Oracles.merge("sum"),
+      "q_merge_max" -> Oracles.merge("max"),
+      "q_merge_min" -> Oracles.merge("min"),
+      "q_merge_count" -> Oracles.merge("count"),
+      "q_reproject_nearest" -> Oracles.reprojectNearest,
+      // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
+      "q_resample_average" -> Oracles.resampleAverage,
+      "q_clip_geom" -> Oracles.clipGeomDrop,
+      "q_clip_geom_invert" -> Oracles.clipGeomInvert,
+      "q_zonal_stats" -> Oracles.zonalStats,
+      "q_cell_index" -> Oracles.cellIndex,
+      "q_knn" -> Oracles.knn,
     )
   }
 }

@@ -57,14 +57,20 @@ object EllipsoidMath {
     val s = math.sin(phiRad)
     asinh(math.tan(phiRad)) - e * atanh(e * s)
   }
-  /** inverse of isometric latitude by fixed-point iteration. */
+  /** Number of fixed-point iterations for the isometric-latitude inverse.
+    * Fixed (no early stop) so the scalar path and the unrolled Catalyst
+    * Column path produce bit-identical results. Convergence factor ~e^2
+    * (0.0067 for WGS84): 8 iterations converge far below 1 ulp. */
+  val InvIterations = 8
+
+  /** inverse of isometric latitude by fixed-point iteration:
+    * sin(phi) = tanh(psi + e*atanh(e*sin(phi))). */
   def isometricInv(psi: Double, e: Double): Double = {
     var sphi = math.tanh(psi)
     var i = 0
-    while (i < 25) {
-      val next = math.tanh(psi + e * atanh(e * sphi))
-      if (math.abs(next - sphi) < 1e-16) { sphi = next; i = 25 }
-      else { sphi = next; i += 1 }
+    while (i < InvIterations) {
+      sphi = math.tanh(psi + e * atanh(e * sphi))
+      i += 1
     }
     math.asin(math.max(-1.0, math.min(1.0, sphi)))
   }

@@ -1,0 +1,300 @@
+package graft.ops
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reprojection / resampling — the reference's warp family
+  * (rioxarray/raster_array.py:198-491, kernels in rasterio.warp):
+  * an inverse warp: every destination pixel centre is mapped through
+  * dstCRS^-1 -> lon/lat -> srcCRS into continuous source pixel space, then
+  * sampled (nearest: the source pixel containing the point, GDAL
+  * truncation convention; bilinear: 2x2 neighbourhood weighted average).
+  *
+  * Distributed formulation: the destination grid is *generated* (no data
+  * motion), the source-pixel key is computed with pure Column arithmetic
+  * (all projection math unrolled into codegen-friendly builtin expressions —
+  * sin/cos/atan2/sinh/asinh are all Catalyst builtins), and the sample is an
+  * equi-JOIN on (src_row, src_col). Catalyst/AQE picks broadcast vs
+  * sort-merge; at scale both sides can be pre-bucketed by tile/Hilbert key
+  * so the join co-locates (SURVEY.md §4). Nearest needs 1 key per dst pixel,
+  * bilinear 4 (generated, then pivoted back in one aggregate). */
+object WarpOps {
+
+  val D2R = 0.017453292519943295 // pi/180, literal shared with SQL oracles
+
+  /** Forward projection lon/lat-degree Columns -> planar, as Columns. */
+  def forwardColumns(to: Crs, lon: Column, lat: Column): (Column, Column) = to.proj match {
+    case LongLat => (lon, lat)
+    case Sinusoidal(r, lon0) =>
+      (lit(r) * ((lon - lit(lon0)) * D2R) * cos(lat * D2R), lit(r) * (lat * D2R))
+    case WebMercator =>
+      (lit(Projection.WGS84_A) * (lon * D2R),
+       lit(Projection.WGS84_A) * asinh(tan(lat * D2R)))
+    case MercatorProj(a, f, k0, lon0) =>
+      val e = math.sqrt(f * (2.0 - f))
+      val s = sin(lat * D2R)
+      val psi = asinh(tan(lat * D2R)) - lit(e) * atanh(lit(e) * s)
+      (lit(a * k0) * ((lon - lit(lon0)) * D2R), lit(a * k0) * psi)
+    case tm: TransverseMercator =>
+      // full Karney forward series as Column arithmetic (stays in codegen)
+      tmForwardColumns(tm, lon, lat)
+    case p => throw new IllegalArgumentException(s"no Column forward for $p")
+  }
+
+  /** Inverse projection planar Columns -> lon/lat degrees. */
+  def inverseColumns(from: Crs, x: Column, y: Column): (Column, Column) = from.proj match {
+    case LongLat => (x, y)
+    case Sinusoidal(r, lon0) =>
+      val phi = y / lit(r)
+      ((x / (lit(r) * cos(phi))) / D2R + lit(lon0), phi / lit(D2R))
+    case WebMercator =>
+      ((x / Projection.WGS84_A) / D2R, atan(sinh(y / Projection.WGS84_A)) / lit(D2R))
+    case tm: TransverseMercator => tmInverseColumns(tm, x, y)
+    case p => throw new IllegalArgumentException(s"no Column inverse for $p (use tile kernel path)")
+  }
+
+  /** Karney inverse series + fixed-point isometric-latitude inverse, unrolled
+    * into Column arithmetic (same iteration count as the scalar path so the
+    * two are bit-identical). */
+  private def tmInverseColumns(tm: TransverseMercator, x: Column, y: Column): (Column, Column) = {
+    val f = Projection.WGS84_F
+    val e = math.sqrt(f * (2.0 - f))
+    val n = f / (2.0 - f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+    val bigA = Projection.WGS84_A / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    val beta = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0 - 81.0 * n5 / 512.0 + 96199.0 * n6 / 604800.0,
+      n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0 + 46.0 * n5 / 105.0 - 1118711.0 * n6 / 3870720.0,
+      17.0 * n3 / 480.0 - 37.0 * n4 / 840.0 - 209.0 * n5 / 4480.0 + 5569.0 * n6 / 90720.0,
+      4397.0 * n4 / 161280.0 - 11.0 * n5 / 504.0 - 830251.0 * n6 / 7257600.0,
+      4583.0 * n5 / 161280.0 - 108847.0 * n6 / 3991680.0,
+      20648693.0 * n6 / 638668800.0)
+    val xi = (y - lit(tm.falseN)) / lit(tm.k0 * bigA)
+    val eta = (x - lit(tm.falseE)) / lit(tm.k0 * bigA)
+    var xiP = xi; var etaP = eta
+    for (j <- 1 to 6) {
+      xiP = xiP - lit(beta(j - 1)) * sin(xi * (2.0 * j)) * cosh(eta * (2.0 * j))
+      etaP = etaP - lit(beta(j - 1)) * cos(xi * (2.0 * j)) * sinh(eta * (2.0 * j))
+    }
+    val shEta = sinh(etaP)
+    val cosXi = cos(xiP)
+    val lam = atan2(shEta, cosXi)
+    val tauP = sin(xiP) / hypot(shEta, cosXi)
+    // isometric-latitude inverse, unrolled InvIterations times
+    val psi = asinh(tauP)
+    var sphi = tanh(psi)
+    for (_ <- 1 to EllipsoidMath.InvIterations)
+      sphi = tanh(psi + lit(e) * atanh(lit(e) * sphi))
+    val phi = asin(greatest(lit(-1.0), least(lit(1.0), sphi)))
+    (lam / lit(D2R) + lit(tm.lon0Deg), phi / lit(D2R))
+  }
+
+  private def tmForwardColumns(tm: TransverseMercator, lon: Column, lat: Column): (Column, Column) = {
+    // replicate TransverseMercator.forward with Column ops
+    val f = Projection.WGS84_F
+    val e = math.sqrt(f * (2.0 - f))
+    val n = f / (2.0 - f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+    val bigA = Projection.WGS84_A / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    val alpha = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 5.0 * n3 / 16.0 + 41.0 * n4 / 180.0 - 127.0 * n5 / 288.0 + 7891.0 * n6 / 37800.0,
+      13.0 * n2 / 48.0 - 3.0 * n3 / 5.0 + 557.0 * n4 / 1440.0 + 281.0 * n5 / 630.0 - 1983433.0 * n6 / 1935360.0,
+      61.0 * n3 / 240.0 - 103.0 * n4 / 140.0 + 15061.0 * n5 / 26880.0 + 167603.0 * n6 / 181440.0,
+      49561.0 * n4 / 161280.0 - 179.0 * n5 / 168.0 + 6601661.0 * n6 / 7257600.0,
+      34729.0 * n5 / 80640.0 - 3418889.0 * n6 / 1995840.0,
+      212378941.0 * n6 / 319334400.0)
+    val lam = (lon - lit(tm.lon0Deg)) * D2R
+    val phi = lat * D2R
+    val sh = sinh(asinh(tan(phi)) - lit(e) * atanh(lit(e) * sin(phi)))
+    val cosLam = cos(lam)
+    val xiP = atan2(sh, cosLam)
+    val etaP = asinh(sin(lam) / hypot(sh, cosLam))
+    var xi = xiP; var eta = etaP
+    for (j <- 1 to 6) {
+      xi = xi + lit(alpha(j - 1)) * sin(xiP * (2.0 * j)) * cosh(etaP * (2.0 * j))
+      eta = eta + lit(alpha(j - 1)) * cos(xiP * (2.0 * j)) * sinh(etaP * (2.0 * j))
+    }
+    (lit(tm.falseE) + lit(tm.k0 * bigA) * eta, lit(tm.falseN) + lit(tm.k0 * bigA) * xi)
+  }
+
+  /** Continuous source-pixel coordinates of each dst pixel centre:
+    * (srcPx, srcPy) Columns given dst (row, col) Columns. */
+  def srcPixelColumns(src: GridRef, dst: GridRef,
+                      dRow: Column, dCol: Column): (Column, Column) = {
+    val dx = lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c)
+    val dy = lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f)
+    val (lonC, latC) = inverseColumns(dst.crs, dx, dy)
+    val (sx, sy) = if (src.crs == dst.crs) (dx, dy) else forwardColumns(src.crs, lonC, latC)
+    val px = (sx - lit(src.transform.c)) / lit(src.transform.a)
+    val py = (sy - lit(src.transform.f)) / lit(src.transform.e)
+    // 1e-9-pixel rounding so a ULP of libm difference between engines cannot
+    // flip the floor at integer boundaries (matches SQL oracle text)
+    (round(px, 9), round(py, 9))
+  }
+
+  /** Inverse nearest sample of a source raster onto a *sub-window* of a
+    * destination grid: returns (row, col, value) in dst indices, inner rows
+    * only (pixels whose mapped source pixel exists). Used by merge for
+    * non-aligned sources: only the dst pixels covering the source footprint
+    * are generated at all. */
+  def inverseSampleNearest(srcR: Raster, dst: GridRef, win: PixelWindow): DataFrame = {
+    val spark = srcR.df.sparkSession
+    val src = srcR.grid
+    val n = win.width.toLong * win.height
+    val dstPx = spark.range(n).select(
+      (expr(s"id div ${win.width}") + win.rowStart).as("row"),
+      (col("id") % win.width + win.colStart).as("col"))
+    val (px, py) = srcPixelColumns(src, dst, col("row"), col("col"))
+    val keyed = dstPx
+      .withColumn("src_col", floor(px))
+      .withColumn("src_row", floor(py))
+    val srcDf = srcR.df.select(col("row").as("s_row"), col("col").as("s_col"),
+                               col("value").cast("long").as("s_value"))
+    keyed.join(srcDf,
+        keyed("src_row") === srcDf("s_row") && keyed("src_col") === srcDf("s_col"))
+      .select(col("row"), col("col"), col("s_value").as("value"))
+  }
+
+  /** Nearest-neighbour inverse warp onto an explicit destination grid
+    * (reproject / reproject_match with resampling="nearest"). */
+  def reprojectNearest(srcR: Raster, dst: GridRef): Raster = {
+    val spark = srcR.df.sparkSession
+    val src = srcR.grid
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val (px, py) = srcPixelColumns(src, dst, col("row"), col("col"))
+    val keyed = dstPx
+      .withColumn("src_col", floor(px))
+      .withColumn("src_row", floor(py))
+    val srcDf = srcR.df.select(col("row").as("s_row"), col("col").as("s_col"),
+                               col("value").as("s_value"))
+    val nodata = lit(dst.nodata.toLong)
+    val joined = keyed.join(srcDf,
+        keyed("src_row") === srcDf("s_row") && keyed("src_col") === srcDf("s_col"), "left")
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        coalesce(col("s_value"), nodata).as("value"))
+    Raster(joined, dst)
+  }
+
+  /** SQL oracle for reprojectNearest when dst CRS is longlat and src is the
+    * spherical sinusoidal synthetic grid (identical arithmetic, textually). */
+  def nearestSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+    val (r, lon0) = src.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
+    }
+    val t = dst.transform; val s = src.transform
+    val lonE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
+    val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
+    val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
+    val syE = s"$r * (($latE) * $D2R)"
+    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
+    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
+       |    CAST(FLOOR($pyE) AS BIGINT) AS src_row
+       |  FROM dstpx),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${t.a}*(CAST(k.col AS DOUBLE) + 0.5) + ${t.c} AS x,
+       |  ${t.e}*(CAST(k.row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
+  /** Integer-factor block average (the "average" resampling kernel on a
+    * downsample): out(R,C) = avg of non-nodata values in the kxk block.
+    * Pure groupBy with map-side partial agg; exact arithmetic
+    * (sum of longs / count, single final division). */
+  def resampleAverage(r: Raster, factor: Int): Raster = {
+    val g = r.grid
+    val outW = g.width / factor; val outH = g.height / factor
+    val dst = GridRef(g.crs,
+      g.transform.compose(Affine.scale(factor.toDouble, factor.toDouble)),
+      outW, outH, g.nodata)
+    val nodata = g.nodata.toLong
+    val df = r.df
+      .filter(col("row") < outH.toLong * factor && col("col") < outW.toLong * factor)
+      .groupBy(expr(s"row div $factor").as("row"), expr(s"col div $factor").as("col"))
+      .agg(
+        sum(when(col("value") =!= nodata, col("value"))).as("vsum"),
+        count(when(col("value") =!= nodata, 1)).as("vcnt"))
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        when(col("vcnt") > 0, col("vsum").cast("double") / col("vcnt"))
+          .otherwise(lit(g.nodata)).as("value"))
+    Raster(df, dst)
+  }
+
+  def resampleAverageSql(src: GridRef, factor: Int, srcSql: String): String = {
+    val outW = src.width / factor; val outH = src.height / factor
+    val dstT = src.transform.compose(Affine.scale(factor.toDouble, factor.toDouble))
+    val nodata = src.nodata.toLong
+    s"""WITH src AS ($srcSql)
+       |SELECT row // $factor AS row, col // $factor AS col,
+       |  ${dstT.a}*(CAST(col // $factor AS DOUBLE) + 0.5) + ${dstT.c} AS x,
+       |  ${dstT.e}*(CAST(row // $factor AS DOUBLE) + 0.5) + ${dstT.f} AS y,
+       |  CASE WHEN count(CASE WHEN value <> $nodata THEN 1 END) > 0
+       |       THEN CAST(sum(CASE WHEN value <> $nodata THEN value END) AS DOUBLE)
+       |            / count(CASE WHEN value <> $nodata THEN 1 END)
+       |       ELSE CAST($nodata AS DOUBLE) END AS value
+       |FROM src
+       |WHERE row < ${outH.toLong * factor} AND col < ${outW.toLong * factor}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Bilinear inverse warp: 2x2 neighbourhood gathered via a 4-way key
+    * explode + single pivot aggregate (deterministic weighted sum, no
+    * accumulation-order dependence). Any nodata neighbour -> nodata. */
+  def reprojectBilinear(srcR: Raster, dst: GridRef): Raster = {
+    val spark = srcR.df.sparkSession
+    val src = srcR.grid
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val (px, py) = srcPixelColumns(src, dst, col("row"), col("col"))
+    val fx = px - 0.5d; val fy = py - 0.5d
+    val keyed = dstPx
+      .withColumn("c0", floor(fx)).withColumn("r0", floor(fy))
+      .withColumn("wx", fx - floor(fx)).withColumn("wy", fy - floor(fy))
+    val exploded = keyed.select(col("*"),
+        explode(array(
+          struct(lit(0).as("dr"), lit(0).as("dc")), struct(lit(0).as("dr"), lit(1).as("dc")),
+          struct(lit(1).as("dr"), lit(0).as("dc")), struct(lit(1).as("dr"), lit(1).as("dc"))
+        )).as("n"))
+      .select(col("row"), col("col"), col("wx"), col("wy"),
+        (col("r0") + col("n.dr")).as("s_row"), (col("c0") + col("n.dc")).as("s_col"),
+        col("n.dr").as("dr"), col("n.dc").as("dc"))
+    val srcDf = srcR.df.select(col("row").as("j_row"), col("col").as("j_col"),
+                               col("value").as("s_value"))
+    val nodata = dst.nodata
+    val joined = exploded.join(srcDf,
+        exploded("s_row") === srcDf("j_row") && exploded("s_col") === srcDf("j_col"), "left")
+    val gathered = joined.groupBy("row", "col", "wx", "wy")
+      .agg(
+        max(when(col("dr") === 0 && col("dc") === 0, col("s_value"))).as("v00"),
+        max(when(col("dr") === 0 && col("dc") === 1, col("s_value"))).as("v01"),
+        max(when(col("dr") === 1 && col("dc") === 0, col("s_value"))).as("v10"),
+        max(when(col("dr") === 1 && col("dc") === 1, col("s_value"))).as("v11"))
+    val anyBad = col("v00").isNull || col("v01").isNull || col("v10").isNull || col("v11").isNull ||
+      col("v00") === nodata.toLong || col("v01") === nodata.toLong ||
+      col("v10") === nodata.toLong || col("v11") === nodata.toLong
+    val interp =
+      (lit(1.0) - col("wy")) * ((lit(1.0) - col("wx")) * col("v00") + col("wx") * col("v01")) +
+      col("wy") * ((lit(1.0) - col("wx")) * col("v10") + col("wx") * col("v11"))
+    val out = gathered.select(col("row"), col("col"),
+      Synth.xColumn(dst, col("col")).as("x"),
+      Synth.yColumn(dst, col("row")).as("y"),
+      when(anyBad, lit(nodata)).otherwise(interp).as("value"))
+    Raster(out, dst)
+  }
+}

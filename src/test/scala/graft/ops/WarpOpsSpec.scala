@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.core._
+import org.apache.spark.sql.functions._
+
+class WarpOpsSpec extends SparkTestBase {
+
+  def modis: GridRef = Synth.modisGrid
+  def src: Raster = Raster(Synth.pixels(spark, modis), modis)
+
+  def synth(r: Long, c: Long, seed: Long = 12345L): Long =
+    if ((r * 53 + c * 97) % 101 == 0) -28672L
+    else (r * 7919L + c * 104729L + seed) % 19997L - 9999L
+
+  /** Pure-Scala nearest warp (reference path): dst centre -> lon/lat -> src
+    * px -> floor. Used as the executor-independent expected value. */
+  def expectedNearest(dst: GridRef, r: Int, c: Int): Long = {
+    val dx = dst.transform.a * (c + 0.5) + dst.transform.c
+    val dy = dst.transform.e * (r + 0.5) + dst.transform.f
+    val (sx, sy) = Crs.reprojectPoint(dx, dy, dst.crs, modis.crs)
+    val px = (sx - modis.transform.c) / modis.transform.a
+    val py = (sy - modis.transform.f) / modis.transform.e
+    val sc = math.floor(BigDecimal(px).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    val sr = math.floor(BigDecimal(py).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).toLong
+    if (sr < 0 || sr >= modis.height || sc < 0 || sc >= modis.width) -28672L
+    else synth(sr, sc)
+  }
+
+  test("reproject nearest to WGS84: engine == pure-Scala reference path") {
+    val dst = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
+    val out = WarpOps.reprojectNearest(src, dst).df
+      .filter(col("row") % 17 === 0 && col("col") % 13 === 0)
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case ((r, c), v) =>
+      assert(v == expectedNearest(dst, r, c), s"pixel ($r,$c)")
+    }
+  }
+
+  test("reproject_match onto the fixture UTM grid (golden transform) matches reference path") {
+    val dst = Synth.matchUtmGrid
+    val out = WarpOps.reprojectNearest(src, dst).df
+      .filter(col("row") % 11 === 0 && col("col") % 7 === 0)
+      .select("row", "col", "value").collect()
+    assert(out.length > 100)
+    out.foreach { r =>
+      val (rr, cc, v) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      assert(v == expectedNearest(dst, rr, cc), s"pixel ($rr,$cc)")
+    }
+  }
+
+  /** first dst pixel whose 2x2 source neighbourhood is fully interior. */
+  def interiorDstPixel(dst: GridRef): (Int, Int) = {
+    (0 until dst.height).iterator.flatMap { r =>
+      (0 until dst.width).iterator.map(c => (r, c))
+    }.find { case (r, c) =>
+      val dx = dst.transform.a * (c + 0.5) + dst.transform.c
+      val dy = dst.transform.e * (r + 0.5) + dst.transform.f
+      val (sx, sy) = Crs.reprojectPoint(dx, dy, dst.crs, modis.crs)
+      val px = (sx - modis.transform.c) / modis.transform.a - 0.5
+      val py = (sy - modis.transform.f) / modis.transform.e - 0.5
+      px >= 1 && px < 198 && py >= 1 && py < 198
+    }.get
+  }
+
+  test("bilinear interior matches hand-computed 2x2 weighting") {
+    val dst = Synth.matchUtmGrid
+    val (tr, tc) = interiorDstPixel(dst)
+    val out = WarpOps.reprojectBilinear(src, dst).df
+      .filter(col("row") === tr && col("col") === tc).collect()(0)
+    // pure-scala recompute
+    val dx = dst.transform.a * (tc + 0.5) + dst.transform.c
+    val dy = dst.transform.e * (tr + 0.5) + dst.transform.f
+    val (sx, sy) = Crs.reprojectPoint(dx, dy, dst.crs, modis.crs)
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val px = r9((sx - modis.transform.c) / modis.transform.a) - 0.5
+    val py = r9((sy - modis.transform.f) / modis.transform.e) - 0.5
+    val c0 = math.floor(px).toLong; val r0 = math.floor(py).toLong
+    val wx = px - c0; val wy = py - r0
+    val vs = Seq((0, 0), (0, 1), (1, 0), (1, 1)).map { case (dr, dc) =>
+      val (r, c) = (r0 + dr, c0 + dc)
+      if (r < 0 || r >= 200 || c < 0 || c >= 200) -28672L else synth(r, c)
+    }
+    val v = out.getDouble(4)
+    if (vs.contains(-28672L)) assert(v == -28672.0)
+    else {
+      val exp = (1 - wy) * ((1 - wx) * vs(0) + wx * vs(1)) + wy * ((1 - wx) * vs(2) + wx * vs(3))
+      assert(math.abs(v - exp) < 1e-9, s"$v vs $exp")
+    }
+  }
+
+  test("resample average 4x: block mean of non-nodata, 50x50 output") {
+    val out = WarpOps.resampleAverage(src, 4)
+    assert(out.grid.width == 50 && out.grid.height == 50)
+    assert(math.abs(out.grid.resX - 4 * modis.transform.a) < 1e-9)
+    val v = out.df.filter(col("row") === 3 && col("col") === 7)
+      .select("value").collect()(0).getDouble(0)
+    val block = for (r <- 12L to 15L; c <- 28L to 31L; x = synth(r, c) if x != -28672L) yield x
+    assert(math.abs(v - block.sum.toDouble / block.size) < 1e-12)
+  }
+
+  test("warp column math: TM forward columns agree with scalar Karney code") {
+    import spark.implicits._
+    val pts = Seq((-94.2, 44.9), (-93.0, 45.4), (-92.1, 45.9), (-95.5, 44.1))
+    val df = pts.toDF("lon", "lat")
+    val tm = Crs.utm(15, north = true)
+    val (xc, yc) = WarpOps.forwardColumns(tm, col("lon"), col("lat"))
+    val rows = df.select(xc.as("x"), yc.as("y")).collect()
+    pts.zip(rows).foreach { case ((lon, lat), row) =>
+      val (ex, ey) = tm.proj.forward(lon, lat)
+      assert(math.abs(row.getDouble(0) - ex) < 1e-6, s"x for $lon,$lat")
+      assert(math.abs(row.getDouble(1) - ey) < 1e-6, s"y for $lon,$lat")
+    }
+  }
+}
