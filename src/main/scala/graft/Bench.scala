@@ -1,24 +1,70 @@
 package graft
+
+import graft.core.{GridRef, Synth}
+import graft.ops.{MergeOps, Raster, WarpOps, WindowOps}
+import graft.runtime.DocPipeline
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query once plus
+  * scale-proportional flagship jobs (doc spatial-join pipeline, big-raster
+  * merge/reproject), prints ONE JSON line. */
 object Bench {
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // scale factor from the directory name (sf0.001 / sf0.01 / sf0.1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // flagship 1: interleaved-doc spatial-join + tile assignment (docs/sec)
+    val nDocs = math.max(20000L, (20000000 * sf).toLong) // sf0.1 -> 2M docs
+    val (_, docSec) = time { DocPipeline.run(spark, nDocs, level = 8, parallelism = cpus.toInt * 4) }
+    val docsPerSec = nDocs / docSec
+
+    // flagship 2: big-raster pipeline (clip + merge + reproject) scaled by sf
+    val side = math.max(400, math.sqrt(40000000 * sf).toInt) // sf0.1 -> 2000x2000
+    val bigGrid = Synth.modisGrid.copy(
+      transform = Synth.modisGrid.transform.compose(
+        graft.core.Affine.scale(200.0 / side, 200.0 / side)),
+      width = side, height = side)
+    val (_, rasterSec) = time {
+      val a = Raster(Synth.pixels(spark, bigGrid, parallelism = cpus.toInt * 4), bigGrid)
+      val bGrid = bigGrid.copy(transform = bigGrid.transform.windowed(side / 4.0, side / 4.0))
+      val b = Raster(Synth.pixels(spark, bGrid, seed = 777L, parallelism = cpus.toInt * 4), bGrid)
+      val merged = MergeOps.merge(Seq(a, b), "first")
+      val dst = GridRef.suggestedWarpOutput(merged.grid, graft.core.Crs.WGS84)
+      WarpOps.reprojectNearest(merged, dst).df.count()
+    }
+    val pixelsPerSec = side.toLong * side / rasterSec
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum + docSec + rasterSec
+    println(
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""doc_pipeline_docs":$nDocs,"doc_pipeline_sec":$docSec%.2f,"docs_per_sec":$docsPerSec%.0f,""" +
+      f""""raster_pixels":${side.toLong * side},"raster_sec":$rasterSec%.2f,"pixels_per_sec":$pixelsPerSec%.0f}""")
     spark.stop()
   }
 }

@@ -178,6 +178,90 @@ object Queries {
     KnnOps.knnBruteForce(knnQueryPoints(spark), knnTargetPoints(spark), knnK)
       .orderBy("q_id", "rank")
 
+  // ---- text / dedup / ann / docs (training-data pipeline ops) -------------
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  /** Dedup corpus: the documents plus deterministic exact and near dupes. */
+  def dedupCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = documents(spark, sfDir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"),
+                concat(col("text"), lit(" near duplicate suffix")).as("text")))
+  }
+  val dedupCorpusSql: String =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id % 7 = 0
+      | UNION ALL SELECT doc_id + 10000, text || ' near duplicate suffix'
+      |   FROM documents WHERE doc_id % 5 = 0)""".stripMargin
+
+  def qTextQuality(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.TextOps.qualityMetrics(documents(spark, sfDir)).orderBy("doc_id")
+
+  def qLangId(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.TextOps.langId(documents(spark, sfDir)).orderBy("doc_id")
+
+  def qFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    documents(spark, sfDir).select(col("doc_id"),
+      graft.text.TextOps.fingerprint(col("text")).as("fp")).orderBy("doc_id")
+
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.exactGroups(dedupCorpus(spark, sfDir)).orderBy("fp")
+
+  def qDedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.jaccardPairs(dedupCorpus(spark, sfDir), 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  def qDedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.lshPairs(dedupCorpus(spark, sfDir), k = 16, bands = 4,
+      threshold = 0.5).orderBy("doc_a", "doc_b")
+
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.simhashPairs(dedupCorpus(spark, sfDir), maxDist = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def qAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    graft.ann.AnnOps.bruteForceTopK(e.filter(col("vec_id") % 25 === 0), e, 10)
+      .orderBy("q_id", "rank")
+  }
+
+  def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ann.AnnOps.lshTopK(embeddings(spark, sfDir), k = 5).orderBy("q_id", "rank")
+
+  def qEmbPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ann.AnnOps.cosinePairs(embeddings(spark, sfDir), 0.4).orderBy("id_a", "id_b")
+
+  def qDocSpans(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.flatSpans(graft.docs.DocOps.interleave(documents(spark, sfDir)))
+      .orderBy("doc_id", "pos")
+
+  def qDocTileAssign(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.tileAssignments(graft.docs.DocOps.interleave(documents(spark, sfDir)))
+      .orderBy("doc_id", "offset")
+
+  val docCellLevel = 12
+  def qDocGeomCells(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.geomCellCover(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, docCellLevel)
+      .orderBy("doc_id", "cell_id")
+
+  def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.spatialTileAssignments(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, 8)
+      .orderBy("doc_id", "tile_id")
+
+  def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    graft.media.MediaOps.resizeFrames(
+      graft.media.MediaOps.decodeFeatures(graft.media.MediaOps.synthesize(spark, 500)), 4)
+      .select("media_id", "n_bytes", "fake_width", "fake_height", "byte_checksum")
+      .orderBy("media_id")
+
   // ---- oracle SQL --------------------------------------------------------
 
   object Oracles {
@@ -297,6 +381,26 @@ object Queries {
         s"${t.e}*(CAST(i // 20 AS DOUBLE)*10.0 + 0.75) + ${t.f} AS ty FROM generate_series(0, ${nKnnTargets - 1}) t(i)"
       KnnOps.knnBruteForceSql(qSql, tSql, knnK)
     }
+
+    // --- text / dedup / ann / docs oracles ---
+
+    val embCastSql = "SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings"
+
+    def textQuality: String = graft.text.TextOps.qualityMetricsSql("documents")
+    def langId: String = graft.text.TextOps.langIdSql("documents")
+    def fingerprint: String =
+      s"SELECT doc_id, ${graft.text.TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"
+    def dedupExact: String = graft.dedup.DedupOps.exactGroupsSql(dedupCorpusSql)
+    def dedupJaccard: String = graft.dedup.DedupOps.jaccardPairsSql(dedupCorpusSql, 0.5)
+    def dedupMinhashLsh: String = graft.dedup.DedupOps.lshPairsSql(dedupCorpusSql, 16, 4, 0.5)
+    def dedupSimhash: String = graft.dedup.DedupOps.simhashPairsSql(dedupCorpusSql, 3)
+    def annTopk: String = graft.ann.AnnOps.bruteForceTopKSql(
+      s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)
+    def annLsh: String = graft.ann.AnnOps.lshTopKSql(embCastSql, 5)
+    def embPairs: String = graft.ann.AnnOps.cosinePairsSql(embCastSql, 0.4)
+    def docSpans: String = graft.docs.DocOps.flatSpansSql("documents")
+    def docTileAssign: String = graft.docs.DocOps.tileAssignmentsSql("documents")
+    def docGeomCells: String = graft.docs.DocOps.geomCellCoverSql("documents", modis, docCellLevel)
 
     val lineitemAgg: String =
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

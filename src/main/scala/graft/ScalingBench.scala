@@ -1,0 +1,39 @@
+package graft
+
+import graft.runtime.DocPipeline
+import org.apache.spark.sql.SparkSession
+
+/** Two-parallelism scaling evidence (BASELINE.md protocol: same job at
+  * local[N] and local[4N] on identical input; efficiency =
+  * (T_N / T_4N) / 4). Prints one JSON line per level plus the summary. */
+object ScalingBench {
+
+  def runAt(cpus: Int, nDocs: Long): Double = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm-up (JIT + codegen) on 5% of the input, then the measured run
+    DocPipeline.run(spark, math.max(1000L, nDocs / 20), parallelism = cpus * 4)
+    val t0 = System.nanoTime()
+    val (rows, tiles) = DocPipeline.run(spark, nDocs, parallelism = cpus * 4)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"level":"local[$cpus]","n_docs":$nDocs,"sec":$sec%.2f,"docs_per_sec":${nDocs / sec}%.0f,"assignments":$rows,"tiles":$tiles}""")
+    spark.stop()
+    sec
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "4000000").toLong
+    val nLow = sys.env.getOrElse("SPARK_GRAFT_LOW", "8").toInt
+    val nHigh = sys.env.getOrElse("SPARK_GRAFT_HIGH", "32").toInt
+    val tLow = runAt(nLow, nDocs)
+    val tHigh = runAt(nHigh, nDocs)
+    val speedup = tLow / tHigh
+    val eff = speedup / (nHigh.toDouble / nLow)
+    println(f"""{"metric":"scaling_efficiency","low":"local[$nLow]","high":"local[$nHigh]","t_low_sec":$tLow%.2f,"t_high_sec":$tHigh%.2f,"speedup":$speedup%.2f,"efficiency":$eff%.3f}""")
+  }
+}

@@ -37,6 +37,21 @@ object SparkEntry {
     "q_zonal_stats" -> (Queries.qZonalStats _),
     "q_cell_index" -> (Queries.qCellIndex _),
     "q_knn" -> (Queries.qKnn _),
+    "q_text_quality" -> (Queries.qTextQuality _),
+    "q_lang_id" -> (Queries.qLangId _),
+    "q_fingerprint" -> (Queries.qFingerprint _),
+    "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_jaccard" -> (Queries.qDedupJaccard _),
+    "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
+    "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_ann_topk" -> (Queries.qAnnTopk _),
+    "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_emb_pairs" -> (Queries.qEmbPairs _),
+    "q_doc_spans" -> (Queries.qDocSpans _),
+    "q_doc_tile_assign" -> (Queries.qDocTileAssign _),
+    "q_doc_geom_cells" -> (Queries.qDocGeomCells _),
+    "q_doc_tile_spatial" -> (Queries.qDocTileSpatial _),
+    "q_media_features" -> (Queries.qMediaFeatures _),
   )
 
   def oracleSql: Map[String, String] = {
@@ -83,6 +98,20 @@ object SparkEntry {
       "q_zonal_stats" -> Oracles.zonalStats,
       "q_cell_index" -> Oracles.cellIndex,
       "q_knn" -> Oracles.knn,
+      "q_text_quality" -> Oracles.textQuality,
+      "q_lang_id" -> Oracles.langId,
+      "q_fingerprint" -> Oracles.fingerprint,
+      "q_dedup_exact" -> Oracles.dedupExact,
+      "q_dedup_jaccard" -> Oracles.dedupJaccard,
+      "q_dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
+      "q_dedup_simhash" -> Oracles.dedupSimhash,
+      "q_ann_topk" -> Oracles.annTopk,
+      "q_ann_lsh" -> Oracles.annLsh,
+      "q_emb_pairs" -> Oracles.embPairs,
+      "q_doc_spans" -> Oracles.docSpans,
+      "q_doc_tile_assign" -> Oracles.docTileAssign,
+      "q_doc_geom_cells" -> Oracles.docGeomCells,
+      // q_doc_tile_spatial, q_media_features: rows-only (spec-checked)
     )
   }
 }

@@ -1,0 +1,146 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>):
+  * brute-force cosine top-k (the exactness baseline/oracle) and a
+  * random-hyperplane-LSH bucketed variant (the scale path: candidate
+  * generation becomes an equi-join on bucket id instead of a cartesian
+  * product).
+  *
+  * All dot products evaluate with functions.aggregate over zip_with in array
+  * order — sequential, deterministic, mirrored by DuckDB's
+  * list_dot_product. */
+object AnnOps {
+
+  /** dot(a, b) in array order, as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine similarity; assumes non-zero vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  def cosineSql(aE: String, bE: String): String =
+    s"list_dot_product($aE, $bE) / (sqrt(list_dot_product($aE, $aE)) * sqrt(list_dot_product($bE, $bE)))"
+
+  /** Exact cosine top-k for each query vector over all target vectors.
+    * queries/targets: (vec_id, embedding). */
+  def bruteForceTopK(queries: DataFrame, targets: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val t = targets.select(col("vec_id").as("t_id"), col("embedding").as("te"))
+    val joined = q.crossJoin(t)
+      .filter(col("q_id") =!= col("t_id"))
+      .withColumn("cos", cosine(col("qe"), col("te")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "cos", "rank")
+  }
+
+  def bruteForceTopKSql(qSql: String, tSql: String, k: Int): String = {
+    val cos = cosineSql("q.embedding", "t.embedding")
+    s"""WITH q AS ($qSql), t AS ($tSql),
+       |d AS (SELECT q.vec_id AS q_id, t.vec_id AS t_id, $cos AS cos
+       |      FROM q, t WHERE q.vec_id <> t.vec_id),
+       |r AS (SELECT q_id, t_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id) AS rank
+       |      FROM d)
+       |SELECT q_id, t_id, cos, rank FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Deterministic pseudo-random hyperplanes: hp(j)(d) derives from integer
+    * arithmetic so Spark and SQL materialize identical planes. `table`
+    * offsets the stream for multi-table LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, table: Int = 0): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (j, d) =>
+      (((j * 73 + d * 179 + table * 1009 + 11) % 97) - 48) / 48.0
+    }
+
+  /** Random-hyperplane LSH bucket id: bit j = sign(dot(v, hp_j)). */
+  def bucketColumn(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (hp, j) =>
+      val hpLit = array(hp.map(lit): _*)
+      when(dot(emb, hpLit) > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def bucketSql(embE: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (hp, j) =>
+      val hpLit = hp.mkString("[", ", ", "]::DOUBLE[]")
+      s"(CASE WHEN list_dot_product($embE, $hpLit) > 0.0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Multi-table LSH ANN (the standard recall amplification: nTables
+    * independent plane sets; candidates = pairs sharing any table's bucket).
+    * Per table the bucket id is an equi-join key — at corpus scale it is
+    * also the shuffle/partition key. Recall < 1 by construction (measured
+    * against brute force in the spec). */
+  def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 8,
+              dim: Int = 64): DataFrame = {
+    val buckets = (0 until nTables).map { t =>
+      bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as(s"b$t")
+    }
+    val v = vectors.select(col("vec_id") +: col("embedding") +: buckets: _*)
+    val pairs = (0 until nTables).map { t =>
+      val a = v.select(col("vec_id").as("q_id"), col(s"b$t").as("bk"))
+      val b = v.select(col("vec_id").as("t_id"), col(s"b$t").as("bk"))
+      a.join(b, Seq("bk")).filter(col("q_id") =!= col("t_id"))
+        .select("q_id", "t_id")
+    }.reduce(_ unionByName _).distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    val joined = pairs
+      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id").as("t_id"), col("embedding").as("te")), "t_id")
+      .withColumn("cos", cosine(col("qe"), col("te")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "cos", "rank")
+  }
+
+  def lshTopKSql(vSql: String, k: Int, nPlanes: Int = 4, nTables: Int = 8,
+                 dim: Int = 64): String = {
+    val bucketExprs = (0 until nTables).map { t =>
+      s"${bucketSql("embedding", hyperplanes(nPlanes, dim, t))} AS b$t"
+    }.mkString(", ")
+    val arms = (0 until nTables).map { t =>
+      s"SELECT a.vec_id AS q_id, b.vec_id AS t_id FROM v a JOIN v b ON a.b$t = b.b$t AND a.vec_id <> b.vec_id"
+    }.mkString("\nUNION\n") // UNION (not ALL): distinct pairs
+    s"""WITH v AS (SELECT vec_id, embedding, $bucketExprs FROM ($vSql)),
+       |cands AS ($arms),
+       |j AS (SELECT c.q_id, c.t_id,
+       |        ${cosineSql("va.embedding", "vb.embedding")} AS cos
+       |      FROM cands c JOIN v va ON c.q_id = va.vec_id
+       |                   JOIN v vb ON c.t_id = vb.vec_id),
+       |r AS (SELECT q_id, t_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id) AS rank
+       |      FROM j)
+       |SELECT q_id, t_id, cos, rank FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold. */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = vectors.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  def cosinePairsSql(vSql: String, threshold: Double): String = {
+    val cos = cosineSql("a.embedding", "b.embedding")
+    s"""WITH v AS ($vSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE $cos >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

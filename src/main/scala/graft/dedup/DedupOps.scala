@@ -1,0 +1,214 @@
+package graft.dedup
+
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (fingerprint
+  * group-by), MinHash+LSH banding, SimHash hamming pairs, character-n-gram
+  * Jaccard. All formulated as explode -> equi-join/aggregate pipelines with
+  * map-side partial aggregation — the shapes that survive 10^12 documents —
+  * and each with a textually-mirrored DuckDB oracle.
+  *
+  * Hash functions are md5-derived (first 8/15 hex chars -> BIGINT) so both
+  * engines compute bit-identical values. */
+object DedupOps {
+
+  /** trigram set as (doc_id, sh_hash) rows; sh_hash = first 8 md5 hex chars
+    * as BIGINT. Distinct per doc. */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    docs.select(col("doc_id"), norm.as("t"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), greatest(lit(1), length(col("t")) - (n - 1))),
+          i => col("t").substr(i, lit(n)))).as("sh"))
+      .select(col("doc_id"), conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("sh_hash"))
+      .distinct()
+  }
+
+  def shingleHashesSql(table: String, n: Int = 3): String =
+    s"""SELECT DISTINCT doc_id,
+       |  ('0x' || substr(md5(sh), 1, 8))::BIGINT AS sh_hash
+       |FROM (
+       |  SELECT doc_id, unnest([substr(t, i, $n)
+       |           FOR i IN generate_series(1, greatest(1, length(t) - ${n - 1}))]) AS sh
+       |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+       |        FROM $table))""".stripMargin
+
+  // ---- exact dedup ---------------------------------------------------------
+
+  /** Exact dedup groups on the normalized-text fingerprint: one row per
+    * distinct content, keeper = min doc_id, n_dups = group size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_docs"))
+
+  def exactGroupsSql(table: String): String =
+    s"""SELECT ${TextOps.fingerprintSql("text")} AS fp,
+       |  min(doc_id) AS keeper, count(*) AS n_docs
+       |FROM $table GROUP BY 1 ORDER BY fp""".stripMargin
+
+  // ---- n-gram Jaccard ------------------------------------------------------
+
+  /** Near-dup pairs by exact trigram-set Jaccard >= threshold. Candidate
+    * generation is the shingle equi-join (pairs sharing >= 1 shingle),
+    * intersection counted per pair, set sizes joined back in. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleHashes(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh_hash") === col("b.sh_hash") &&
+                          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  def jaccardPairsSql(table: String, threshold: Double): String =
+    s"""WITH sh AS (${shingleHashesSql(table)}),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- MinHash + LSH -------------------------------------------------------
+
+  val MinhashP = 2147483647L // 2^31 - 1
+  def hashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 3L, 104729L * (i + 1) + 7L))
+
+  /** MinHash signatures: sig[k] = min over shingles of (a_k*h + b_k) mod p.
+    * One explode + one (doc, k) aggregate, map-side combinable. */
+  def minhashSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val sh = shingleHashes(docs)
+    val params = hashParams(k)
+    val kDf = docs.sparkSession.createDataFrame(
+      params.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+    ).toDF("k", "ha", "hb")
+    sh.crossJoin(broadcast(kDf))
+      .groupBy("doc_id", "k")
+      .agg(min((col("ha") * col("sh_hash") + col("hb")) % MinhashP).as("mh"))
+  }
+
+  def minhashSignaturesSql(table: String, k: Int): String = {
+    val params = hashParams(k).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH sh AS (${shingleHashesSql(table)}),
+       |params(k, ha, hb) AS (VALUES $params)
+       |SELECT doc_id, k, min((ha * sh_hash + hb) % $MinhashP) AS mh
+       |FROM sh, params GROUP BY 1, 2""".stripMargin
+  }
+
+  /** LSH banding: band signature = ordered concat of the band's minhashes;
+    * candidate pairs = docs sharing any band bucket; verified by exact
+    * trigram Jaccard >= threshold. */
+  def lshPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+               threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(docs, k)
+    val banded = sig
+      .withColumn("band", expr(s"k div $rowsPerBand"))
+      .groupBy("doc_id", "band")
+      // deterministic band signature: minhashes in k-order
+      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("k"), col("mh")))),
+        s => s.getField("mh").cast("string"))).as("band_sig"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+                          col("a.band_sig") === col("b.band_sig") &&
+                          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact jaccard
+    val verified = jaccardPairs(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cands.join(verified, Seq("doc_a", "doc_b"))
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def lshPairsSql(table: String, k: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5): String = {
+    val rowsPerBand = k / bands
+    s"""WITH sig AS (${minhashSignaturesSql(table, k)}),
+       |banded AS (
+       |  SELECT doc_id, k // $rowsPerBand AS band,
+       |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_sig
+       |  FROM sig GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+       |verified AS (${jaccardPairsSql(table, threshold)})
+       |SELECT c.doc_a, c.doc_b, v.jaccard
+       |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+  }
+
+  // ---- SimHash -------------------------------------------------------------
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over whitespace tokens: bit b of the fingerprint is the
+    * sign of sum over tokens of (2*bit_b(md5_32(token)) - 1). One explode,
+    * one aggregate with SimhashBits packed into a single sum each. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(TextOps.tokens(lower(col("text")))).as("w"))
+      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"s$b")
+    }
+    val summed = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    summed.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  def simhashSql(table: String): String = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      s"sum(((h >> $b) & 1) * 2 - 1) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until SimhashBits).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(unnest(${TextOps.tokensSql("lower(text)")})), 1, 8))::BIGINT AS h
+       |  FROM $table),
+       |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY 1)
+       |SELECT doc_id, $fp AS simhash FROM sums ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist. */
+  def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    val s = simhash(docs)
+    val a = s.as("a"); val b = s.as("b")
+    a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+
+  def simhashPairsSql(table: String, maxDist: Int): String =
+    s"""WITH s AS (${simhashSql(table)})
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

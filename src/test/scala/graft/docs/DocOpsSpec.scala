@@ -1,0 +1,113 @@
+package graft.docs
+
+import graft.{Queries, SparkTestBase}
+import graft.core._
+import org.apache.spark.sql.functions._
+
+class DocOpsSpec extends SparkTestBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Queries.documents(spark, sfDir)
+  lazy val spans = DocOps.interleave(docs)
+
+  test("span sequence (kind, text, media_ref, order) survives shuffle + join") {
+    val before = spans.select("doc_id", "spans").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
+    // force a shuffle and a join, carrying spans through both
+    val shuffled = spans.repartition(7, col("doc_id"))
+    val other = docs.select(col("doc_id"), col("n_chars"))
+    val joined = shuffled.join(other, "doc_id").filter(col("n_chars") > 0)
+    val after = joined.select("doc_id", "spans").collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
+    assert(after.keySet == before.keySet)
+    before.foreach { case (id, sp) =>
+      assert(after(id) == sp, s"span sequence of doc $id changed")
+    }
+    // offsets are strictly increasing in stored order for every doc
+    after.values.foreach { sp =>
+      val offs = sp.map(_(3).asInstanceOf[Int])
+      assert(offs == offs.sorted && offs == offs.distinct)
+    }
+  }
+
+  test("tile assignments follow the deterministic media_ref arithmetic") {
+    val rows = DocOps.tileAssignments(spans).collect()
+    rows.foreach { r =>
+      val (id, off, tid) = (r.getLong(0), r.getInt(1), r.getLong(2))
+      val exp = if (off == 1) (id * 31) % 64 else (id * 17 + 5) % 64
+      assert(tid == exp, s"doc $id offset $off")
+      assert(r.getLong(3) == tid / 8 && r.getLong(4) == tid % 8)
+    }
+    assert(rows.length == docs.count() * 2)
+  }
+
+  test("geometry cell cover: every covered cell intersects the doc's box") {
+    val level = 12
+    val cover = DocOps.geomCellCover(spans, Synth.modisGrid, level)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cover.nonEmpty)
+    val g = Synth.modisGrid
+    cover.take(500).foreach { case (id, cell) =>
+      assert(Cells.cellLevel(cell) == level)
+      // recompute the box in lon/lat, assert bbox overlap with cell bounds
+      val c0 = (id * 7) % 180; val r0 = (id * 13) % 180
+      val corners = for (pc <- Seq(c0, c0 + 12); pr <- Seq(r0, r0 + 12)) yield {
+        val x = g.transform.a * pc + g.transform.c
+        val y = g.transform.e * pr + g.transform.f
+        g.crs.proj.inverse(x, y)
+      }
+      val lonMin = corners.map(_._1).min; val lonMax = corners.map(_._1).max
+      val latMin = corners.map(_._2).min; val latMax = corners.map(_._2).max
+      val b = Cells.cellBounds(cell)
+      assert(b.intersects(Bounds(lonMin, latMin, lonMax, latMax)),
+        s"cell $cell of doc $id does not touch its geometry bbox")
+    }
+  }
+
+  test("spatial doc-tile join: assignments match pure-Scala recompute") {
+    val level = 8
+    val got = DocOps.spatialTileAssignments(spans, Synth.modisGrid, level)
+      .select("doc_id", "tile_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pure-scala: tile centre cell in doc's cover rectangle
+    val g = Synth.modisGrid
+    val tilePx = g.width / DocOps.TileGridN
+    val tileCells = (0 until DocOps.TileGridN * DocOps.TileGridN).map { tid =>
+      val pr = tid / DocOps.TileGridN * tilePx + tilePx / 2.0
+      val pc = tid % DocOps.TileGridN * tilePx + tilePx / 2.0
+      val (lon, lat) = g.crs.proj.inverse(
+        g.transform.a * pc + g.transform.c, g.transform.e * pr + g.transform.f)
+      tid.toLong -> Cells.cellId(lon, lat, level)
+    }
+    val docIds = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = (for {
+      id <- docIds
+      c0 = (id * 7) % 180; r0 = (id * 13) % 180
+      corners = for (pc <- Seq(c0, c0 + 12); pr <- Seq(r0, r0 + 12)) yield
+        g.crs.proj.inverse(g.transform.a * pc + g.transform.c,
+                           g.transform.e * pr + g.transform.f)
+      (ix0, iy0) = Cells.latLonToIxIy(corners.map(_._1).min, corners.map(_._2).min, level)
+      (ix1, iy1) = Cells.latLonToIxIy(corners.map(_._1).max, corners.map(_._2).max, level)
+      (tid, cell) <- tileCells
+      if Cells.cellIx(cell) >= ix0 && Cells.cellIx(cell) <= ix1 &&
+         Cells.cellIy(cell) >= iy0 && Cells.cellIy(cell) <= iy1
+    } yield (id, tid)).toSet
+    assert(got == expected)
+  }
+
+  test("media pipeline: deterministic stub features and frame resize") {
+    val media = graft.media.MediaOps.synthesize(spark, 50)
+    val feats = graft.media.MediaOps.decodeFeatures(media)
+    val resized = graft.media.MediaOps.resizeFrames(feats, 4)
+    val rows = resized.orderBy("media_id").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 256) // 8 * 32-char md5 hex as bytes
+      assert(r.getSeq[Long](6).size == 4)
+    }
+    // determinism: second run produces identical checksums
+    val again = graft.media.MediaOps.decodeFeatures(
+      graft.media.MediaOps.synthesize(spark, 50)).orderBy("media_id").collect()
+    assert(rows.map(_.getLong(4)).toSeq == again.map(_.getLong(4)).toSeq)
+  }
+}

