@@ -31,17 +31,12 @@ object Bench {
     // scale factor from the directory name (sf0.001 / sf0.01 / sf0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      }
-      name -> sec
-    }
-
     // flagship 1: interleaved-doc spatial-join + tile assignment (docs/sec)
     val nDocs = math.max(20000L, (20000000 * sf).toLong) // sf0.1 -> 2M docs
-    val (_, docSec) = time { DocPipeline.run(spark, nDocs, level = 8, parallelism = cpus.toInt * 4) }
+    DocPipeline.run(spark, nDocs / 100, level = 12, parallelism = cpus.toInt) // codegen/JIT warmup
+    val (_, docSec) = time { DocPipeline.run(spark, nDocs, level = 12, parallelism = cpus.toInt * 4) }
     val docsPerSec = nDocs / docSec
+    System.err.println(f"[bench] doc_pipeline ($nDocs docs): $docSec%.2f s ($docsPerSec%.0f docs/s)")
 
     // flagship 2: big-raster pipeline (clip + merge + reproject) scaled by sf
     val side = math.max(400, math.sqrt(40000000 * sf).toInt) // sf0.1 -> 2000x2000
@@ -58,6 +53,15 @@ object Bench {
       WarpOps.reprojectNearest(merged, dst).df.count()
     }
     val pixelsPerSec = side.toLong * side / rasterSec
+    System.err.println(f"[bench] raster_pipeline (${side}x$side): $rasterSec%.2f s")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      }
+      System.err.println(f"[bench] $name: $sec%.2f s")
+      name -> sec
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum + docSec + rasterSec

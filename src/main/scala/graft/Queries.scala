@@ -144,6 +144,15 @@ object Queries {
         zonalGeoms.map { case (id, w) => id -> Geometry.parseWkt(w) })
       .orderBy("geom_id")
 
+  def qInterpolateNa(spark: SparkSession, sfDir: String): DataFrame =
+    InterpolateOps.interpolateNaNearest(modisPixels(spark), bucket = 4)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  val bandGrid: GridRef = modis.copy(width = 40, height = 40)
+  def qBandPivot(spark: SparkSession, sfDir: String): DataFrame =
+    BandOps.bandAsVariable(BandOps.pixels3d(spark, bandGrid, 3), 3)
+      .orderBy("row", "col")
+
   // ---- cell index ---------------------------------------------------------
 
   val cellLevel = 10
@@ -213,12 +222,22 @@ object Queries {
   def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
     graft.dedup.DedupOps.exactGroups(dedupCorpus(spark, sfDir)).orderBy("fp")
 
+  /** Slice for the all-pairs ops: the synthetic word-salad corpus is
+    * pathologically self-similar (most doc pairs share most trigrams), so
+    * exact all-pairs Jaccard is inherently quadratic in matching pairs — the
+    * slice keeps the verification meaningful while bounding the output.
+    * (id+10000/+20000 dupes share id%10, so dupe pairs stay in-slice.) */
+  def corpusSlice(spark: SparkSession, sfDir: String): DataFrame =
+    dedupCorpus(spark, sfDir).filter(col("doc_id") % 25 === 0)
+  val corpusSliceSql: String =
+    s"(SELECT * FROM $dedupCorpusSql t WHERE doc_id % 25 = 0)"
+
   def qDedupJaccard(spark: SparkSession, sfDir: String): DataFrame =
-    graft.dedup.DedupOps.jaccardPairs(dedupCorpus(spark, sfDir), 0.5)
+    graft.dedup.DedupOps.jaccardPairs(corpusSlice(spark, sfDir), 0.5)
       .orderBy("doc_a", "doc_b")
 
   def qDedupMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    graft.dedup.DedupOps.lshPairs(dedupCorpus(spark, sfDir), k = 16, bands = 4,
+    graft.dedup.DedupOps.lshPairs(corpusSlice(spark, sfDir), k = 16, bands = 4,
       threshold = 0.5).orderBy("doc_a", "doc_b")
 
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
@@ -253,7 +272,7 @@ object Queries {
 
   def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.spatialTileAssignments(
-      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, 8)
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, 12)
       .orderBy("doc_id", "tile_id")
 
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
@@ -361,6 +380,11 @@ object Queries {
          |FROM z GROUP BY geom_id ORDER BY geom_id""".stripMargin
     }
 
+    def interpolateNa: String = InterpolateOps.interpolateNaSql(px, modis)
+
+    def bandPivot: String =
+      BandOps.bandAsVariableSql(BandOps.pixels3dSql(bandGrid, 3), 3)
+
     def cellIndex: String = {
       val (r, lon0) = (6371007.181, 0.0)
       val latE = s"(y / $r) / ${WarpOps.D2R}"
@@ -391,8 +415,8 @@ object Queries {
     def fingerprint: String =
       s"SELECT doc_id, ${graft.text.TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"
     def dedupExact: String = graft.dedup.DedupOps.exactGroupsSql(dedupCorpusSql)
-    def dedupJaccard: String = graft.dedup.DedupOps.jaccardPairsSql(dedupCorpusSql, 0.5)
-    def dedupMinhashLsh: String = graft.dedup.DedupOps.lshPairsSql(dedupCorpusSql, 16, 4, 0.5)
+    def dedupJaccard: String = graft.dedup.DedupOps.jaccardPairsSql(corpusSliceSql, 0.5)
+    def dedupMinhashLsh: String = graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5)
     def dedupSimhash: String = graft.dedup.DedupOps.simhashPairsSql(dedupCorpusSql, 3)
     def annTopk: String = graft.ann.AnnOps.bruteForceTopKSql(
       s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)

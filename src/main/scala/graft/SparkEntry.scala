@@ -35,6 +35,8 @@ object SparkEntry {
     "q_clip_geom" -> (Queries.qClipGeom _),
     "q_clip_geom_invert" -> (Queries.qClipGeomInvert _),
     "q_zonal_stats" -> (Queries.qZonalStats _),
+    "q_interpolate_na" -> (Queries.qInterpolateNa _),
+    "q_band_pivot" -> (Queries.qBandPivot _),
     "q_cell_index" -> (Queries.qCellIndex _),
     "q_knn" -> (Queries.qKnn _),
     "q_text_quality" -> (Queries.qTextQuality _),
@@ -96,6 +98,8 @@ object SparkEntry {
       "q_clip_geom" -> Oracles.clipGeomDrop,
       "q_clip_geom_invert" -> Oracles.clipGeomInvert,
       "q_zonal_stats" -> Oracles.zonalStats,
+      "q_interpolate_na" -> Oracles.interpolateNa,
+      "q_band_pivot" -> Oracles.bandPivot,
       "q_cell_index" -> Oracles.cellIndex,
       "q_knn" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,

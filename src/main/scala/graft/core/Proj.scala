@@ -218,7 +218,26 @@ object Crs {
     else if (ls.startsWith("+")) fromProj4(s)
     else if (ls.startsWith("projcs") || ls.startsWith("geogcs") || ls.startsWith("projcrs") || ls.startsWith("geogcrs")) fromWkt(s)
     else if (ls.forall(_.isDigit)) fromEpsg(ls.toInt)
-    else throw new IllegalArgumentException(s"unsupported CRS input: $s")
+    else fromCanonicalKey(ls).getOrElse(
+      throw new IllegalArgumentException(s"unsupported CRS input: $s"))
+  }
+
+  /** Round-trip of our own canonical keys (persisted in grid sidecars). */
+  private def fromCanonicalKey(key: String): Option[Crs] = {
+    def params(s: String): Map[String, Double] =
+      s.split(":").drop(1).flatMap { kv =>
+        val p = kv.split("=", 2)
+        if (p.length == 2) Some(p(0) -> p(1).toDouble) else None
+      }.toMap
+    val p = params(key)
+    if (key.startsWith("sinu:"))
+      Some(Crs(key, Sinusoidal(p("a"), p.getOrElse("lon0", 0.0))))
+    else if (key.startsWith("merc:"))
+      Some(Crs(key, MercatorProj(k0 = p.getOrElse("k", 1.0), lon0Deg = p.getOrElse("lon0", 0.0))))
+    else if (key.startsWith("tmerc:"))
+      Some(Crs(key, TransverseMercator(p("lon0"), p.getOrElse("k", 1.0),
+        p.getOrElse("x0", 0.0), p.getOrElse("y0", 0.0))))
+    else None
   }
 
   def fromEpsg(code: Int): Crs = code match {

@@ -133,10 +133,22 @@ object DedupOps {
                           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact jaccard
-    val verified = jaccardPairs(docs, threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    cands.join(verified, Seq("doc_a", "doc_b"))
+    // verify with exact jaccard computed over the CANDIDATE pairs only —
+    // this (not a global all-pairs pass) is what makes LSH the scale path
+    val sh = shingleHashes(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
+                         col("sa.sh_hash") === col("sb.sh_hash"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
@@ -152,10 +164,19 @@ object DedupOps {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
-       |verified AS (${jaccardPairsSql(table, threshold)})
-       |SELECT c.doc_a, c.doc_b, v.jaccard
-       |FROM cands c JOIN verified v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
-       |ORDER BY c.doc_a, c.doc_b""".stripMargin
+       |sh AS (${shingleHashesSql(table)}),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cands c JOIN sh sa ON c.doc_a = sa.doc_id
+       |               JOIN sh sb ON c.doc_b = sb.doc_id AND sa.sh_hash = sb.sh_hash
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+       |           JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---- SimHash -------------------------------------------------------------
@@ -194,21 +215,52 @@ object DedupOps {
        |SELECT doc_id, $fp AS simhash FROM sums ORDER BY doc_id""".stripMargin
   }
 
-  /** SimHash near-dup pairs: hamming distance <= maxDist. */
+  val SimhashBands = 4 // 4 bands x 8 bits of the 32-bit fingerprint
+
+  /** SimHash near-dup pairs: hamming distance <= maxDist.
+    *
+    * Candidate generation by the pigeonhole band trick: with 4 bands and
+    * maxDist <= 3, at most 3 bands can differ, so every qualifying pair
+    * shares at least one *exact* 8-bit band — candidates become an
+    * EQUI-join on (band_index, band_bits) instead of an O(n^2) nested-loop
+    * cross join, which is the shape that survives 10^12 docs. Exact
+    * (complete) for maxDist < SimhashBands. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist < SimhashBands, "pigeonhole completeness needs maxDist < bands")
     val s = simhash(docs)
-    val a = s.as("a"); val b = s.as("b")
-    a.join(b, col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    val bandWidth = SimhashBits / SimhashBands
+    val banded = s.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimhashBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * bandWidth)
+            .bitwiseAND((1L << bandWidth) - 1).as("bits"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band"), col("bb.bits"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+                          col("a.bits") === col("b.bits") &&
+                          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+    cands.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .select("doc_a", "doc_b", "hamming")
   }
 
-  def simhashPairsSql(table: String, maxDist: Int): String =
-    s"""WITH s AS (${simhashSql(table)})
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-       |FROM s a JOIN s b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxDist
+  def simhashPairsSql(table: String, maxDist: Int): String = {
+    val bandWidth = SimhashBits / SimhashBands
+    val arms = (0 until SimhashBands).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * bandWidth}) & ${(1L << bandWidth) - 1} AS bits FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH s AS (${simhashSql(table)}),
+       |banded AS ($arms),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sh_a, b.simhash AS sh_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+       |FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -41,13 +41,15 @@ object DocOps {
     val span = (kind: String, text: Column, ref: Column, off: Int) =>
       struct(lit(kind).as("kind"), text.as("text"), ref.as("media_ref"),
              lit(off).cast("int").as("offset"))
-    docs.select(id.as("doc_id"), col("lang"), array(
+    // all non-text columns (ts, lang, ...) pass through untouched, so the
+    // op composes with streaming sources without extra joins
+    docs.withColumn("spans", array(
       span("text", substring(col("text"), 1, 40), lit(""), 0),
       span("media", lit(""), concat(lit("tile_"), ((id * 31) % 64).cast("string")), 1),
       span("text", geomTxt, lit(""), 2),
       span("media", lit(""), concat(lit("tile_"), ((id * 17 + 5) % 64).cast("string")), 3),
       span("text", substring(col("text"), 41, 1000000), lit(""), 4)
-    ).as("spans"))
+    )).drop("text")
   }
 
   /** Flat (exploded, position-preserving) view of the spans — the shape the
@@ -105,11 +107,14 @@ object DocOps {
   def geomCellCover(docsSpans: DataFrame, grid: GridRef, level: Int): DataFrame = {
     val geomSpan = element_at(filter(col("spans"),
       s => s.getField("text").startsWith("geom:")), 1).getField("text")
+    // single split instead of four regexp extractions (hot path at 10^12 docs)
     val px = docsSpans.select(col("doc_id"), geomSpan.as("g"))
-      .withColumn("c0", regexp_extract(col("g"), "PXPOLY\\((\\d+) (\\d+) (\\d+) (\\d+)\\)", 1).cast("double"))
-      .withColumn("r0", regexp_extract(col("g"), "PXPOLY\\((\\d+) (\\d+) (\\d+) (\\d+)\\)", 2).cast("double"))
-      .withColumn("c1", regexp_extract(col("g"), "PXPOLY\\((\\d+) (\\d+) (\\d+) (\\d+)\\)", 3).cast("double"))
-      .withColumn("r1", regexp_extract(col("g"), "PXPOLY\\((\\d+) (\\d+) (\\d+) (\\d+)\\)", 4).cast("double"))
+      .withColumn("nums", split(
+        substring_index(substring_index(col("g"), "(", -1), ")", 1), " "))
+      .withColumn("c0", element_at(col("nums"), 1).cast("double"))
+      .withColumn("r0", element_at(col("nums"), 2).cast("double"))
+      .withColumn("c1", element_at(col("nums"), 3).cast("double"))
+      .withColumn("r1", element_at(col("nums"), 4).cast("double"))
     val t = grid.transform
     // pixel box corners -> planar; y descends with row so (r0 -> maxy).
     // lon depends on BOTH x and y under sinusoidal, so the lon range is the
@@ -194,8 +199,11 @@ object DocOps {
     val (lon, lat) = WarpOps.inverseColumns(grid.crs, tx, ty)
     val tileCells = tiles.select(col("tile_id"),
       Cells.cellIdColumn(lon, lat, level).as("cell_id"))
+    // (doc_id, tile_id, cell_id) is already unique: cover cells are unique
+    // per doc and each tile contributes exactly one centre cell — no
+    // distinct needed, so the join output flows straight into downstream
+    // aggregates with no extra shuffle.
     cover.join(broadcast(tileCells), "cell_id")
       .select("doc_id", "tile_id", "cell_id")
-      .distinct()
   }
 }

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.core._
+import org.apache.spark.sql.functions._
+
+/** Metadata operators — the reference's schema-DDL-like accessor methods
+  * (SURVEY §2.6: write_crs rioxarray.py:255-315, write_transform :365-444,
+  * write_nodata raster_array.py:90-150, set_spatial_dims :609-644,
+  * transform(recalc=True) :413-444). All are GridRef/column-metadata
+  * rewrites: driver-side, zero shuffle, zero data motion. */
+object MetadataOps {
+
+  /** write_crs: attach/replace the CRS. */
+  def writeCrs(r: Raster, crs: Crs): Raster = r.copy(grid = r.grid.copy(crs = crs))
+
+  /** write_transform: replace the affine. */
+  def writeTransform(r: Raster, t: Affine): Raster =
+    r.copy(grid = r.grid.copy(transform = t))
+
+  /** write_nodata: set the nodata *marker* (no data rewrite, matching the
+    * reference's metadata-only semantics). */
+  def writeNodata(r: Raster, nodata: Double): Raster =
+    r.copy(grid = r.grid.copy(nodata = nodata))
+
+  /** set_nodata(value) + remap: optional eager rewrite of the old marker to
+    * the new one (the reference's masked/encoded write path). */
+  def remapNodata(r: Raster, newNodata: Double): Raster = {
+    val old = r.grid.nodata
+    val isLong = r.df.schema("value").dataType.typeName == "long"
+    val (o, n) = if (isLong) (lit(old.toLong), lit(newNodata.toLong))
+                 else (lit(old), lit(newNodata))
+    Raster(r.df.withColumn("value", when(col("value") === o, n).otherwise(col("value"))),
+           r.grid.copy(nodata = newNodata))
+  }
+
+  /** transform(recalc=True): re-derive the affine from the coordinate
+    * columns of two neighbouring pixels (rioxarray.py:413-444) — one tiny
+    * driver action. */
+  def recalcTransform(r: Raster): Affine = {
+    val rows = r.df.filter(col("row") < 2 && col("col") < 2)
+      .select("row", "col", "x", "y").collect()
+      .map(q => ((q.getLong(0), q.getLong(1)), (q.getDouble(2), q.getDouble(3)))).toMap
+    val (x00, y00) = rows((0L, 0L))
+    val (x01, _) = rows((0L, 1L))
+    val (_, y10) = rows((1L, 0L))
+    val a = x01 - x00
+    val e = y10 - y00
+    Affine(a, 0, x00 - a / 2.0, 0, e, y00 - e / 2.0)
+  }
+
+  /** set_spatial_dims: rename the spatial dimension columns (the engine's
+    * analog of dimension auto-detection override). */
+  def setSpatialDims(r: Raster, xDim: String, yDim: String): Raster =
+    Raster(r.df.withColumnRenamed("col", xDim).withColumnRenamed("row", yDim), r.grid)
+}

@@ -27,13 +27,14 @@ object DocPipeline {
     * Plan shape: generate -> project (all codegen) -> explode cover ->
     * broadcast hash join on cell_id -> partial+final hash agg. The only
     * shuffle is the final aggregate. */
-  def run(spark: SparkSession, nDocs: Long, level: Int = 8,
+  def run(spark: SparkSession, nDocs: Long, level: Int = 12,
           parallelism: Int = 0): (Long, Long) = {
     val docs = syntheticDocs(spark, nDocs, parallelism)
     val spans = DocOps.interleave(docs)
     val assignments = DocOps.spatialTileAssignments(spans, Synth.modisGrid, level)
     val perTile = assignments.groupBy("tile_id").agg(count(lit(1)).as("n_docs"))
-    val rows = perTile.agg(sum("n_docs")).collect()(0).getLong(0)
-    (rows, perTile.count())
+    // single action: total assignments + tile count in one pass
+    val r = perTile.agg(sum("n_docs"), count(lit(1))).collect()(0)
+    (r.getLong(0), r.getLong(1))
   }
 }

@@ -15,8 +15,8 @@ class DocOpsSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
     // force a shuffle and a join, carrying spans through both
     val shuffled = spans.repartition(7, col("doc_id"))
-    val other = docs.select(col("doc_id"), col("n_chars"))
-    val joined = shuffled.join(other, "doc_id").filter(col("n_chars") > 0)
+    val other = docs.select(col("doc_id"), col("n_chars").as("n2"))
+    val joined = shuffled.join(other, "doc_id").filter(col("n2") > 0)
     val after = joined.select("doc_id", "spans").collect()
       .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.toSeq)).toMap
     assert(after.keySet == before.keySet)
@@ -65,7 +65,7 @@ class DocOpsSpec extends SparkTestBase {
   }
 
   test("spatial doc-tile join: assignments match pure-Scala recompute") {
-    val level = 8
+    val level = 12
     val got = DocOps.spatialTileAssignments(spans, Synth.modisGrid, level)
       .select("doc_id", "tile_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

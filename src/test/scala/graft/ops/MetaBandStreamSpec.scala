@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.core._
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class MetaBandStreamSpec extends SparkTestBase {
+
+  def modis: GridRef = Synth.modisGrid
+  def px: Raster = Raster(Synth.pixels(spark, modis), modis)
+
+  test("metadata ops: write_crs / write_transform / write_nodata / remap / recalc") {
+    val utm = Crs.utm(15, north = true)
+    assert(MetadataOps.writeCrs(px, utm).grid.crs == utm)
+    val t2 = Affine.northUp(0, 100, 1, 1)
+    assert(MetadataOps.writeTransform(px, t2).grid.transform == t2)
+    assert(MetadataOps.writeNodata(px, -1).grid.nodata == -1.0)
+    val remapped = MetadataOps.remapNodata(px, -99999)
+    assert(remapped.grid.nodata == -99999.0)
+    assert(remapped.df.filter(col("value") === -28672L).count() == 0)
+    assert(remapped.df.filter(col("value") === -99999L).count() ==
+           px.df.filter(col("value") === -28672L).count())
+    // transform(recalc=True) re-derives the affine from coords
+    val rt = MetadataOps.recalcTransform(px)
+    assert(math.abs(rt.a - modis.transform.a) < 1e-6)
+    assert(math.abs(rt.c - modis.transform.c) < 1e-4)
+    assert(math.abs(rt.e - modis.transform.e) < 1e-6)
+    assert(math.abs(rt.f - modis.transform.f) < 1e-4)
+    // set_spatial_dims renames dimension columns
+    val renamed = MetadataOps.setSpatialDims(px, "lon_idx", "lat_idx")
+    assert(renamed.df.columns.contains("lon_idx") && renamed.df.columns.contains("lat_idx"))
+  }
+
+  test("band_as_variable pivots 3 bands into columns") {
+    val px3 = BandOps.pixels3d(spark, modis.copy(width = 40, height = 40), 3)
+    assert(px3.count() == 3L * 1600)
+    val piv = BandOps.bandAsVariable(px3, 3)
+    assert(piv.count() == 1600)
+    val r = piv.filter(col("row") === 5 && col("col") === 7).collect()(0)
+    def synth(rr: Long, cc: Long): Long =
+      if ((rr * 53 + cc * 97) % 101 == 0) -28672L
+      else (rr * 7919L + cc * 104729L + 12345L) % 19997L - 9999L
+    val base = synth(5, 7)
+    assert(r.getAs[Long]("band_0") == base)
+    assert(r.getAs[Long]("band_1") == base + 31)
+    assert(r.getAs[Long]("band_2") == base + 62)
+  }
+
+  test("streaming ingest: watermarked windowed cell counts over doc spans") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // build streaming docs with the same interleave shape; ts passes through
+    val flat = input.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val spans = graft.docs.DocOps.interleave(flat)
+    val out = StreamingOps.windowedCellCounts(spans, level = 8)
+    val q = out.writeStream.format("memory").queryName("cellcounts")
+      .outputMode("complete").start()
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+      input.addData((0 until 200).map(i => (t0, i.toLong, s"doc text $i")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("select * from cellcounts").collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getAs[Long]("n_docs")).sum == 200)
+    } finally q.stop()
+  }
+}
