@@ -425,6 +425,7 @@ object Queries {
     def docSpans: String = graft.docs.DocOps.flatSpansSql("documents")
     def docTileAssign: String = graft.docs.DocOps.tileAssignmentsSql("documents")
     def docGeomCells: String = graft.docs.DocOps.geomCellCoverSql("documents", modis, docCellLevel)
+    def docTileSpatial: String = graft.docs.DocOps.spatialTileAssignmentsSql("documents", modis, 12)
 
     val lineitemAgg: String =
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

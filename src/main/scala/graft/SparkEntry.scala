@@ -115,7 +115,8 @@ object SparkEntry {
       "q_doc_spans" -> Oracles.docSpans,
       "q_doc_tile_assign" -> Oracles.docTileAssign,
       "q_doc_geom_cells" -> Oracles.docGeomCells,
-      // q_doc_tile_spatial, q_media_features: rows-only (spec-checked)
+      "q_doc_tile_spatial" -> Oracles.docTileSpatial,
+      // q_media_features, q_reproject_match: rows-only (spec-checked)
     )
   }
 }

@@ -181,6 +181,31 @@ object DocOps {
        |FROM cells2 ORDER BY doc_id, cell_id""".stripMargin
   }
 
+  /** SQL mirror of [[spatialTileAssignments]]: tile centre cells computed
+    * with the same arithmetic, joined to the cover. */
+  def spatialTileAssignmentsSql(table: String, grid: GridRef, level: Int): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    val tilePx = grid.width / TileGridN
+    val pr = s"(CAST(tid // $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val pc = s"(CAST(tid % $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val tx = s"(${t.a} * $pc + ${t.c})"
+    val ty = s"(${t.e} * $pr + ${t.f})"
+    val lat = s"(($ty) / $r) / ${graft.ops.WarpOps.D2R}"
+    val lon = s"(($tx) / ($r * COS(($ty) / $r))) / ${graft.ops.WarpOps.D2R} + $lon0"
+    s"""WITH cover AS (${geomCellCoverSql(table, grid, level)}),
+       |tiles AS (
+       |  SELECT tid AS tile_id, ${Cells.cellIdSql(lon, lat, level)} AS cell_id
+       |  FROM (SELECT CAST(i AS BIGINT) AS tid
+       |        FROM generate_series(0, ${TileGridN * TileGridN - 1}) t(i)))
+       |SELECT c.doc_id, t.tile_id, c.cell_id
+       |FROM cover c JOIN tiles t ON c.cell_id = t.cell_id
+       |ORDER BY doc_id, tile_id""".stripMargin
+  }
+
   /** Spatial doc x tile join: docs' geometry cell covers joined to tile
     * centre cells at the same level -> (doc_id, tile_id) assignments. The
     * tile side is tiny metadata here; at corpus scale both sides are
