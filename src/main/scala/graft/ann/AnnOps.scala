@@ -87,16 +87,20 @@ object AnnOps {
     * against brute force in the spec). */
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 8,
               dim: Int = 64): DataFrame = {
-    val buckets = (0 until nTables).map { t =>
-      bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as(s"b$t")
+    // all tables' buckets in ONE pass: explode to (vec_id, table, bucket)
+    // and self-join on the composite key — 1 scan + 1 shuffle instead of
+    // nTables unioned self-joins (same candidate set)
+    val bucketStructs = (0 until nTables).map { t =>
+      struct(lit(t).as("tb"),
+        bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as("bk"))
     }
-    val v = vectors.select(col("vec_id") +: col("embedding") +: buckets: _*)
-    val pairs = (0 until nTables).map { t =>
-      val a = v.select(col("vec_id").as("q_id"), col(s"b$t").as("bk"))
-      val b = v.select(col("vec_id").as("t_id"), col(s"b$t").as("bk"))
-      a.join(b, Seq("bk")).filter(col("q_id") =!= col("t_id"))
-        .select("q_id", "t_id")
-    }.reduce(_ unionByName _).distinct()
+    val banded = vectors.select(col("vec_id"),
+        explode(array(bucketStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bk").as("bk"))
+    val pairs = banded.select(col("vec_id").as("q_id"), col("tb"), col("bk"))
+      .join(banded.select(col("vec_id").as("t_id"), col("tb"), col("bk")), Seq("tb", "bk"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select("q_id", "t_id").distinct()
     val emb = vectors.select(col("vec_id"), col("embedding"),
       sqrt(norm2(col("embedding"))).as("nrm"))
     val joined = pairs
