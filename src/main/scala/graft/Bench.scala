@@ -58,18 +58,30 @@ object Bench {
     val pixelsPerSec = side.toLong * side / rasterSec
     System.err.println(f"[bench] raster_pipeline (${side}x$side): $rasterSec%.2f s")
 
+    // min-of-2 per query (same protocol as the flagships): the shared host
+    // throttles unpredictably and an n=1 sample can be 5-10x off (the round-1
+    // q_dedup_exact anomaly). A query that throws is recorded as failed, not
+    // as a suspiciously fast timing.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = time {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      def once(): (Double, Boolean) = {
+        val (ok, sec) = time {
+          try { fn(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${t.getMessage}"); false }
+        }
+        (sec, ok)
       }
-      System.err.println(f"[bench] $name: $sec%.2f s")
-      name -> sec
+      val (s1, ok1) = once()
+      val (sec, ok) = if (!ok1) (s1, false) else { val (s2, ok2) = once(); (math.min(s1, s2), ok2) }
+      System.err.println(f"[bench] $name: $sec%.2f s (ok=$ok)")
+      (name, sec, ok)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum + docSec + rasterSec
     println(
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",""" +
       f""""doc_pipeline_docs":$nDocs,"doc_pipeline_sec":$docSec%.2f,"docs_per_sec":$docsPerSec%.0f,""" +
       f""""raster_pixels":${side.toLong * side},"raster_sec":$rasterSec%.2f,"pixels_per_sec":$pixelsPerSec%.0f}""")
     spark.stop()

@@ -91,6 +91,25 @@ object Queries {
   def qMerge(method: String)(spark: SparkSession, sfDir: String): DataFrame =
     MergeOps.merge(mergeSources(spark), method).df.orderBy("row", "col")
 
+  // ---- merge_datasets (multi-variable) fixtures ---------------------------
+
+  val dsVarSeeds: Seq[(String, Long)] = Seq("nir" -> 999L, "red" -> 12345L)
+  val dsVarSeedsB: Seq[(String, Long)] = Seq("nir" -> 888L, "red" -> 777L)
+  val dsVarNames: Seq[String] = dsVarSeeds.map(_._1)
+
+  def datasetPixels(spark: SparkSession, g: GridRef,
+                    seeds: Seq[(String, Long)]): DataFrame =
+    seeds.map { case (v, s) =>
+      Synth.pixels(spark, g, s).select(lit(v).as("var_name"), col("row"),
+        col("col"), col("x"), col("y"), col("value"))
+    }.reduce(_ unionByName _)
+
+  def qMergeDatasets(method: String)(spark: SparkSession, sfDir: String): DataFrame =
+    MergeOps.mergeDatasets(
+      Seq(datasetPixels(spark, modis, dsVarSeeds) -> modis,
+          datasetPixels(spark, modisB, dsVarSeedsB) -> modisB),
+      dsVarNames, method)._1.orderBy("var_name", "row", "col")
+
   // ---- warp / resample ---------------------------------------------------
 
   lazy val reprojDst: GridRef = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
@@ -108,6 +127,28 @@ object Queries {
   def qReprojectMatch(spark: SparkSession, sfDir: String): DataFrame =
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis),
                              Synth.matchUtmGrid).df.orderBy("row", "col")
+
+  /** bilinear reproject onto the WGS84 grid (oracle-gated: sinu->longlat is
+    * fully ANSI-SQL-expressible, same trick as the nearest oracle). */
+  def qReprojectBilinear(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectBilinear(Raster(Synth.pixels(spark, modis), modis), reprojDst)
+      .df.orderBy("row", "col")
+
+  /** mask_and_scale decode chain over the synthetic raster. Dyadic
+    * scale/offset literals so engine and oracle parse identical doubles. */
+  val msScale = 0.125; val msOffset = 100.0
+  def qMaskScale(spark: SparkSession, sfDir: String): DataFrame =
+    MetadataOps.maskAndScale(modisPixels(spark), msScale, msOffset)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  /** clip_box with WGS84 bounds over the sinusoidal raster: densified
+    * transform_bounds runs driver-side (pure planner math); both the query
+    * and the oracle derive the native window from the same function. */
+  lazy val clipCrsWgsBounds: Bounds =
+    GridRef.transformBounds(largeClip, Crs.MODIS_SINU, Crs.WGS84)
+  def qClipBoxCrs(spark: SparkSession, sfDir: String): DataFrame =
+    WindowOps.clipBoxCrs(modisPixels(spark), clipCrsWgsBounds, Crs.WGS84)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
 
   // ---- vector: clip by geometry / zonal stats -----------------------------
 
@@ -137,6 +178,33 @@ object Queries {
 
   def qClipGeomInvert(spark: SparkSession, sfDir: String): DataFrame =
     VectorOps.clipGeom(modisPixels(spark), clipGeom, drop = false, invert = true)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  def qClipGeomAllTouched(spark: SparkSession, sfDir: String): DataFrame =
+    VectorOps.clipGeom(modisPixels(spark), clipGeom, drop = true, allTouched = true)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
+  /** 500-vertex star polygon (radial function of angle -> simple polygon);
+    * vertices are driver-computed literal doubles, so Spark and DuckDB share
+    * the exact same edge coordinates through Double.toString round-trip.
+    * Exercises the clip switch-over to the edge-table PIP join
+    * (VectorOps.EdgeUnrollLimit). Mask-only (drop=false) keeps the oracle to
+    * one predicate instantiation. */
+  val manyVertexGeomWkt: String = {
+    val t = modis.transform
+    val cx = t.a * 100.0 + t.c; val cy = t.e * 100.0 + t.f
+    val rUnit = math.abs(t.a)
+    val pts = (0 until 500).map { k =>
+      val ang = 2.0 * math.Pi * k / 500.0
+      val rad = (60.0 + 35.0 * ((k * 37) % 101) / 101.0) * rUnit
+      s"${cx + rad * math.cos(ang)} ${cy + rad * math.sin(ang)}"
+    }
+    s"POLYGON ((${(pts :+ pts.head).mkString(", ")}))"
+  }
+  lazy val manyVertexGeom: Geom = Geometry.parseWkt(manyVertexGeomWkt)
+
+  def qClipGeom500(spark: SparkSession, sfDir: String): DataFrame =
+    VectorOps.clipGeom(modisPixels(spark), manyVertexGeom, drop = false)
       .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
 
   def qZonalStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -183,9 +251,13 @@ object Queries {
       (lit(modis.transform.a) * ((col("id") % 20) * 10.0d + 0.25d) + modis.transform.c).as("tx"),
       (lit(modis.transform.e) * (expr("id div 20") * 10.0d + 0.75d) + modis.transform.f).as("ty"))
 
+  /** Catalog path is the SCALE-SAFE grid-bucketed join (hash join, no
+    * cartesian); the brute-force SQL stays the oracle — KnnOpsSpec proves the
+    * two identical under the ring guarantee (targets ~10 px apart, cell =
+    * 20 px = 4632 m, ring 3). */
   def qKnn(spark: SparkSession, sfDir: String): DataFrame =
-    KnnOps.knnBruteForce(knnQueryPoints(spark), knnTargetPoints(spark), knnK)
-      .orderBy("q_id", "rank")
+    KnnOps.knnCellJoin(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
+      cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
 
   // ---- text / dedup / ann / docs (training-data pipeline ops) -------------
 
@@ -255,6 +327,12 @@ object Queries {
 
   def qEmbPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.ann.AnnOps.cosinePairs(embeddings(spark, sfDir), 0.4).orderBy("id_a", "id_b")
+
+  /** Scale path for near-dup pairs: LSH-banded candidates + exact verify
+    * (no cartesian anywhere; own exact oracle mirroring the banding). */
+  def qEmbPairsBanded(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ann.AnnOps.cosinePairsBanded(embeddings(spark, sfDir), 0.4)
+      .orderBy("id_a", "id_b")
 
   def qDocSpans(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.flatSpans(graft.docs.DocOps.interleave(documents(spark, sfDir)))
@@ -343,6 +421,23 @@ object Queries {
     def reprojectNearest: String =
       WarpOps.nearestSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
 
+    def reprojectBilinear: String =
+      WarpOps.bilinearSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
+
+    def maskScale: String =
+      MetadataOps.maskAndScaleSql(px, modis.nodata.toLong, msScale, msOffset)
+
+    def mergeDatasets(method: String): String = {
+      val dst = MergeOps.unionGrid(Seq(modis, modisB))
+      def varSql(seeds: Seq[(String, Long)], g: GridRef, ro: Long, co: Long): String =
+        seeds.map { case (v, s) =>
+          s"SELECT '$v' AS var_name, row + $ro AS row, col + $co AS col, value FROM (${Synth.pixelsSql(g, s)})"
+        }.mkString("\nUNION ALL\n")
+      MergeOps.mergeDatasetsSql(dst,
+        Seq(varSql(dsVarSeeds, modis, 0, 0), varSql(dsVarSeedsB, modisB, 30, 50)),
+        dsVarNames, method)
+    }
+
     def resampleAverage: String = WarpOps.resampleAverageSql(modis, 4, pxSrcSql)
 
     def clipGeomDrop: String = {
@@ -368,6 +463,41 @@ object Queries {
          |FROM px ORDER BY row, col""".stripMargin
     }
 
+    def clipGeomAllTouched: String = {
+      val hx = math.abs(modis.resX) / 2.0; val hy = math.abs(modis.resY) / 2.0
+      val touches = VectorOps.touchesSql(clipGeom, "px.x", "px.y", hx, hy)
+      val touchesI = VectorOps.touchesSql(clipGeom, "i.x", "i.y", hx, hy)
+      s"""WITH px AS ($px),
+         |ext AS (SELECT min(i.row) AS r0, max(i.row) AS r1,
+         |               min(i.col) AS c0, max(i.col) AS c1
+         |        FROM px i WHERE $touchesI)
+         |SELECT px.row - ext.r0 AS row, px.col - ext.c0 AS col, px.x, px.y,
+         |  CASE WHEN $touches THEN px.value ELSE ${modis.nodata.toLong} END AS value
+         |FROM px, ext
+         |WHERE px.row >= ext.r0 AND px.row <= ext.r1
+         |  AND px.col >= ext.c0 AND px.col <= ext.c1
+         |ORDER BY row, col""".stripMargin
+    }
+
+    /** Mask-only clip with the 500-vertex polygon. Mirrors the Spark
+      * edge-table PIP join (a 500-term unrolled predicate overflows DuckDB's
+      * binder recursion): crossing-count join + odd filter. */
+    def clipGeom500: String = {
+      s"""WITH px AS ($px),
+         |edges AS (${VectorOps.edgesUnnestSql(manyVertexGeom)}),
+         |ins AS (
+         |  SELECT px.row, px.col
+         |  FROM px, edges e
+         |  WHERE (e.y1 > px.y) != (e.y2 > px.y)
+         |    AND px.x < e.x1 + (px.y - e.y1) * e.dx / e.dy
+         |  GROUP BY px.row, px.col
+         |  HAVING count(*) % 2 = 1)
+         |SELECT px.row, px.col, px.x, px.y,
+         |  CASE WHEN ins.row IS NOT NULL THEN px.value ELSE ${modis.nodata.toLong} END AS value
+         |FROM px LEFT JOIN ins ON px.row = ins.row AND px.col = ins.col
+         |ORDER BY px.row, px.col""".stripMargin
+    }
+
     def zonalStats: String = {
       val zones = zonalGeoms.map { case (id, wkt) =>
         val g = Geometry.parseWkt(wkt)
@@ -375,7 +505,7 @@ object Queries {
       }
       s"""WITH px AS ($px),
          |z AS (${zones.mkString("\nUNION ALL\n")})
-         |SELECT geom_id, count(*) AS n_pixels, sum(value) AS sum_value,
+         |SELECT geom_id, count(*) AS n_pixels, CAST(sum(value) AS BIGINT) AS sum_value,
          |  min(value) AS min_value, max(value) AS max_value
          |FROM z GROUP BY geom_id ORDER BY geom_id""".stripMargin
     }
@@ -422,6 +552,7 @@ object Queries {
       s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)
     def annLsh: String = graft.ann.AnnOps.lshTopKSql(embCastSql, 5)
     def embPairs: String = graft.ann.AnnOps.cosinePairsSql(embCastSql, 0.4)
+    def embPairsBanded: String = graft.ann.AnnOps.cosinePairsBandedSql(embCastSql, 0.4)
     def docSpans: String = graft.docs.DocOps.flatSpansSql("documents")
     def docTileAssign: String = graft.docs.DocOps.tileAssignmentsSql("documents")
     def docGeomCells: String = graft.docs.DocOps.geomCellCoverSql("documents", modis, docCellLevel)

@@ -29,11 +29,18 @@ object SparkEntry {
     "q_merge_max" -> (Queries.qMerge("max") _),
     "q_merge_min" -> (Queries.qMerge("min") _),
     "q_merge_count" -> (Queries.qMerge("count") _),
+    "q_merge_ds_first" -> (Queries.qMergeDatasets("first") _),
+    "q_merge_ds_sum" -> (Queries.qMergeDatasets("sum") _),
     "q_reproject_nearest" -> (Queries.qReprojectNearest _),
+    "q_reproject_bilinear" -> (Queries.qReprojectBilinear _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
     "q_resample_average" -> (Queries.qResampleAverage _),
+    "q_mask_scale" -> (Queries.qMaskScale _),
+    "q_clip_box_crs" -> (Queries.qClipBoxCrs _),
     "q_clip_geom" -> (Queries.qClipGeom _),
     "q_clip_geom_invert" -> (Queries.qClipGeomInvert _),
+    "q_clip_geom_all_touched" -> (Queries.qClipGeomAllTouched _),
+    "q_clip_geom_500" -> (Queries.qClipGeom500 _),
     "q_zonal_stats" -> (Queries.qZonalStats _),
     "q_interpolate_na" -> (Queries.qInterpolateNa _),
     "q_band_pivot" -> (Queries.qBandPivot _),
@@ -49,6 +56,7 @@ object SparkEntry {
     "q_ann_topk" -> (Queries.qAnnTopk _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_emb_pairs" -> (Queries.qEmbPairs _),
+    "q_emb_pairs_banded" -> (Queries.qEmbPairsBanded _),
     "q_doc_spans" -> (Queries.qDocSpans _),
     "q_doc_tile_assign" -> (Queries.qDocTileAssign _),
     "q_doc_geom_cells" -> (Queries.qDocGeomCells _),
@@ -92,11 +100,19 @@ object SparkEntry {
       "q_merge_max" -> Oracles.merge("max"),
       "q_merge_min" -> Oracles.merge("min"),
       "q_merge_count" -> Oracles.merge("count"),
+      "q_merge_ds_first" -> Oracles.mergeDatasets("first"),
+      "q_merge_ds_sum" -> Oracles.mergeDatasets("sum"),
       "q_reproject_nearest" -> Oracles.reprojectNearest,
+      "q_reproject_bilinear" -> Oracles.reprojectBilinear,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
       "q_resample_average" -> Oracles.resampleAverage,
+      "q_mask_scale" -> Oracles.maskScale,
+      "q_clip_box_crs" -> Oracles.clipBox(
+        GridRef.transformBounds(clipCrsWgsBounds, Crs.WGS84, Crs.MODIS_SINU)),
       "q_clip_geom" -> Oracles.clipGeomDrop,
       "q_clip_geom_invert" -> Oracles.clipGeomInvert,
+      "q_clip_geom_all_touched" -> Oracles.clipGeomAllTouched,
+      "q_clip_geom_500" -> Oracles.clipGeom500,
       "q_zonal_stats" -> Oracles.zonalStats,
       "q_interpolate_na" -> Oracles.interpolateNa,
       "q_band_pivot" -> Oracles.bandPivot,
@@ -112,6 +128,7 @@ object SparkEntry {
       "q_ann_topk" -> Oracles.annTopk,
       "q_ann_lsh" -> Oracles.annLsh,
       "q_emb_pairs" -> Oracles.embPairs,
+      "q_emb_pairs_banded" -> Oracles.embPairsBanded,
       "q_doc_spans" -> Oracles.docSpans,
       "q_doc_tile_assign" -> Oracles.docTileAssign,
       "q_doc_geom_cells" -> Oracles.docGeomCells,

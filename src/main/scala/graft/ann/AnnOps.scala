@@ -144,6 +144,53 @@ object AnnOps {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Scale path for near-dup pairs: LSH-banded candidate generation (pairs
+    * sharing >= 1 (table, bucket)) + exact cosine verify. Semantics are
+    * deterministic and SQL-mirrored, so it carries its own exact oracle; its
+    * recall vs [[cosinePairs]] is measured in the spec. Plan shape: one scan
+    * -> explode to (vec_id, table, bucket) -> self equi-join -> distinct ->
+    * join-back -> filter. No cartesian product anywhere — the property that
+    * lets it run at 10^9 vectors where the brute pairs op cannot. */
+  def cosinePairsBanded(vectors: DataFrame, threshold: Double, nPlanes: Int = 4,
+                        nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketStructs = (0 until nTables).map { t =>
+      struct(lit(t).as("tb"),
+        bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as("bk"))
+    }
+    val banded = vectors.select(col("vec_id"),
+        explode(array(bucketStructs: _*)).as("b"))
+      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bk").as("bk"))
+    val cands = banded.select(col("vec_id").as("id_a"), col("tb"), col("bk"))
+      .join(banded.select(col("vec_id").as("id_b"), col("tb"), col("bk")), Seq("tb", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val emb = vectors.select(col("vec_id"), col("embedding"))
+    cands
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  def cosinePairsBandedSql(vSql: String, threshold: Double, nPlanes: Int = 4,
+                           nTables: Int = 8, dim: Int = 64): String = {
+    val bucketExprs = (0 until nTables).map { t =>
+      s"${bucketSql("embedding", hyperplanes(nPlanes, dim, t))} AS b$t"
+    }.mkString(", ")
+    val arms = (0 until nTables).map { t =>
+      s"SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM v a JOIN v b ON a.b$t = b.b$t AND a.vec_id < b.vec_id"
+    }.mkString("\nUNION\n") // UNION (not ALL): distinct candidate pairs
+    s"""WITH v AS (SELECT vec_id, embedding, $bucketExprs FROM ($vSql)),
+       |cands AS ($arms),
+       |j AS (SELECT c.id_a, c.id_b,
+       |        ${cosineSql("va.embedding", "vb.embedding")} AS cos
+       |      FROM cands c JOIN v va ON c.id_a = va.vec_id
+       |                   JOIN v vb ON c.id_b = vb.vec_id)
+       |SELECT id_a, id_b, cos FROM j WHERE cos >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def cosinePairsSql(vSql: String, threshold: Double): String = {
     val cos = cosineSql("a.embedding", "b.embedding")
     s"""WITH v AS ($vSql)

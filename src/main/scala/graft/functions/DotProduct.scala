@@ -22,7 +22,12 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val bb = b.asInstanceOf[ArrayData]
-    val n = math.min(aa.numElements(), bb.numElements())
+    // Strict like DuckDB list_dot_product: mismatched lengths are an error,
+    // not a silent truncation (a truncated dot masks corrupt embeddings).
+    if (aa.numElements() != bb.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: array lengths differ (${aa.numElements()} vs ${bb.numElements()})")
+    val n = aa.numElements()
     var sum = 0.0
     var i = 0
     (elemType(left), elemType(right)) match {
@@ -51,7 +56,11 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: array lengths differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $sum += ${getter(lt, a, i)} * ${getter(rt, b, i)};

@@ -105,6 +105,99 @@ object MergeOps {
     Raster(merged, dst)
   }
 
+  /** merge_datasets (rioxarray/merge.py:226-291): merge multi-variable
+    * inputs, each a (var_name, row, col, x, y, value) table + grid. The
+    * reference loops data_vars and merges each separately; here `var_name`
+    * simply joins the aggregate key, so ANY number of variables costs the
+    * same ONE union + ONE map-side-combined shuffle as the single-variable
+    * merge — the per-variable loop disappears into the hash key. */
+  def mergeDatasets(sources: Seq[(DataFrame, GridRef)], varNames: Seq[String],
+                    method: String = "first"): (DataFrame, GridRef) = {
+    require(sources.nonEmpty && varNames.nonEmpty)
+    val dst = unionGrid(sources.map(_._2))
+    val spark = sources.head._1.sparkSession
+    val nodata = dst.nodata.toLong
+
+    val contribs = sources.zipWithIndex.map { case ((df, g), rank) =>
+      val dstIndexed = alignedOffset(g, dst) match {
+        case Some((ro, co)) =>
+          df.select(col("var_name"), (col("row") + ro).as("row"),
+                    (col("col") + co).as("col"), col("value").cast("long").as("value"))
+        case None =>
+          // non-aligned: per-variable inverse resample (variables are schema,
+          // not data — the loop is over a literal list, not a collect)
+          val win = dst.windowFromBounds(g.bounds)
+          varNames.map { v =>
+            WarpOps.inverseSampleNearest(
+                Raster(df.filter(col("var_name") === v)
+                  .select("row", "col", "x", "y", "value"), g), dst, win)
+              .select(lit(v).as("var_name"), col("row"), col("col"), col("value"))
+          }.reduce(_ unionByName _)
+      }
+      dstIndexed
+        .filter(col("value") =!= nodata)
+        .withColumn("rank", lit(rank.toLong))
+        .filter(col("row") >= 0 && col("row") < dst.height &&
+                col("col") >= 0 && col("col") < dst.width)
+    }.reduce(_ unionByName _)
+
+    val skeleton = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"),
+              explode(array(varNames.map(lit): _*)).as("var_name"))
+      .select(col("var_name"), col("row"), col("col"),
+              lit(null).cast("long").as("value"), lit(Long.MaxValue).as("rank"))
+
+    val agg: Column = method match {
+      case "first" => min_by(col("value"), col("rank"))
+      case "last"  => max_by(col("value"), when(col("value").isNull, Long.MinValue).otherwise(col("rank")))
+      case "min"   => min(col("value"))
+      case "max"   => max(col("value"))
+      case "sum"   => sum(col("value"))
+      case "count" => count(col("value"))
+      case m => throw new IllegalArgumentException(s"unsupported merge method $m")
+    }
+
+    val merged = contribs.unionByName(skeleton)
+      .groupBy("var_name", "row", "col")
+      .agg(coalesce(agg, lit(nodata)).as("value"))
+      .withColumn("x", Synth.xColumn(dst, col("col")))
+      .withColumn("y", Synth.yColumn(dst, col("row")))
+      .select("var_name", "row", "col", "x", "y", "value")
+    (merged, dst)
+  }
+
+  /** DuckDB oracle for [[mergeDatasets]]; `srcSqls` produce
+    * (var_name, row, col, value) on the dst index. */
+  def mergeDatasetsSql(dst: GridRef, srcSqls: Seq[String], varNames: Seq[String],
+                       method: String): String = {
+    val nodata = dst.nodata.toLong
+    val ranked = srcSqls.zipWithIndex.map { case (s, r) =>
+      s"SELECT var_name, row, col, value, CAST($r AS BIGINT) AS rank FROM ($s) WHERE value <> $nodata" +
+        s" AND row >= 0 AND row < ${dst.height} AND col >= 0 AND col < ${dst.width}"
+    }
+    val varsSql = varNames.map(v => s"SELECT '$v' AS var_name").mkString(" UNION ALL ")
+    val skeleton =
+      s"""SELECT v.var_name, CAST(i // ${dst.width} AS BIGINT) AS row,
+         |  CAST(i % ${dst.width} AS BIGINT) AS col,
+         |  CAST(NULL AS BIGINT) AS value, ${Long.MaxValue} AS rank
+         |FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i), ($varsSql) v""".stripMargin
+    val aggE = method match {
+      case "first" => "arg_min(value, rank)"
+      case "last"  => "arg_max(value, CASE WHEN value IS NULL THEN " + Long.MinValue + " ELSE rank END)"
+      case "min"   => "min(value)"
+      case "max"   => "max(value)"
+      case "sum"   => "CAST(sum(value) AS BIGINT)"
+      case "count" => "count(value)"
+    }
+    val t = dst.transform
+    s"""WITH contribs AS (${(ranked :+ skeleton).mkString("\nUNION ALL\n")})
+       |SELECT var_name, row, col,
+       |  ${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c} AS x,
+       |  ${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  COALESCE($aggE, $nodata) AS value
+       |FROM contribs GROUP BY var_name, row, col ORDER BY var_name, row, col""".stripMargin
+  }
+
   /** DuckDB oracle fragment: same union + single-aggregate formulation.
     * `srcSqls` are SELECTs producing (row, col, value) on the dst index. */
   def mergeSql(dst: GridRef, srcSqls: Seq[String], method: String): String = {
@@ -123,7 +216,9 @@ object MergeOps {
       case "last"  => "arg_max(value, CASE WHEN value IS NULL THEN " + Long.MinValue + " ELSE rank END)"
       case "min"   => "min(value)"
       case "max"   => "max(value)"
-      case "sum"   => "sum(value)"
+      // CAST: DuckDB sum(BIGINT) widens to HUGEINT; Spark stays LongType.
+      // Without the cast the driver's value-hash diverges on equal numbers.
+      case "sum"   => "CAST(sum(value) AS BIGINT)"
       case "count" => "count(value)"
     }
     val t = dst.transform

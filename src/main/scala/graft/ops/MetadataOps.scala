@@ -33,6 +33,30 @@ object MetadataOps {
            r.grid.copy(nodata = newNodata))
   }
 
+  /** mask_and_scale read projection (the reference's open_rasterio
+    * mask_and_scale=True chain, _io.py:440-451 + encoded-nodata handling,
+    * raster_array.py:152-196): nodata-encoded pixels become NULL (the
+    * engine's analog of the reference's masked-to-NaN fill — NULL is the
+    * relational missing marker and hashes deterministically), everything
+    * else decodes as value * scale_factor + add_offset. Pure codegen
+    * projection: no shuffle, no data motion. */
+  def maskAndScale(r: Raster, scale: Double, offset: Double): Raster = {
+    val isLong = r.df.schema("value").dataType.typeName == "long"
+    val nod: org.apache.spark.sql.Column =
+      if (isLong) lit(r.grid.nodata.toLong) else lit(r.grid.nodata)
+    val decoded = r.df.withColumn("value",
+      when(col("value") === nod, lit(null).cast("double"))
+        .otherwise(col("value") * lit(scale) + lit(offset)))
+    Raster(decoded, r.grid.copy(nodata = Double.NaN))
+  }
+
+  /** DuckDB mirror of [[maskAndScale]] over a (row,col,x,y,value) source. */
+  def maskAndScaleSql(srcSql: String, nodata: Long, scale: Double, offset: Double): String =
+    s"""SELECT row, col, x, y,
+       |  CASE WHEN value = $nodata THEN CAST(NULL AS DOUBLE)
+       |       ELSE value * $scale + $offset END AS value
+       |FROM ($srcSql) ORDER BY row, col""".stripMargin
+
   /** transform(recalc=True): re-derive the affine from the coordinate
     * columns of two neighbouring pixels (rioxarray.py:413-444) — one tiny
     * driver action. */

@@ -51,6 +51,57 @@ object VectorOps {
     s"((${terms.mkString(" + ")}) % 2) = 1"
   }
 
+  /** all_touched=True geometric test (raster_array.py:768,837 →
+    * rasterio.features.geometry_mask(all_touched=True)): include a pixel when
+    * its closed SQUARE (centre ± half-resolution) intersects the polygon —
+    * i.e. centre inside, OR any polygon edge intersects the rectangle
+    * (segment-AABB: bboxes overlap AND the 4 rect corners are not strictly on
+    * one side of the segment's supporting line). Equivalent to GDAL's
+    * supercover edge walk + interior fill up to exact-boundary tie
+    * conventions. All arithmetic is literal/affine-exact (no libm), so the
+    * SQL mirror is bit-identical. */
+  def touchesColumn(g: Geom, px: Column, py: Column, hx: Double, hy: Double): Column = {
+    val edgeHit: Column = g.edges.map { case (x1, y1, x2, y2) =>
+      val bbox = lit(math.max(x1, x2)) >= px - hx && lit(math.min(x1, x2)) <= px + hx &&
+                 lit(math.max(y1, y2)) >= py - hy && lit(math.min(y1, y2)) <= py + hy
+      def f(cx: Column, cy: Column): Column =
+        lit(x2 - x1) * (cy - lit(y1)) - lit(y2 - y1) * (cx - lit(x1))
+      val s1 = f(px - hx, py - hy); val s2 = f(px + hx, py - hy)
+      val s3 = f(px - hx, py + hy); val s4 = f(px + hx, py + hy)
+      val oneSide = (s1 > 0 && s2 > 0 && s3 > 0 && s4 > 0) ||
+                    (s1 < 0 && s2 < 0 && s3 < 0 && s4 < 0)
+      bbox && !oneSide
+    }.reduce(_ || _)
+    containsColumn(g, px, py) || edgeHit
+  }
+
+  /** Same all-touched predicate in DuckDB SQL. */
+  def touchesSql(g: Geom, pxE: String, pyE: String, hx: Double, hy: Double): String = {
+    val edgeTerms = g.edges.map { case (x1, y1, x2, y2) =>
+      def f(cxE: String, cyE: String): String =
+        s"(${x2 - x1} * (($cyE) - $y1) - ${y2 - y1} * (($cxE) - $x1))"
+      val s1 = f(s"($pxE) - $hx", s"($pyE) - $hy"); val s2 = f(s"($pxE) + $hx", s"($pyE) - $hy")
+      val s3 = f(s"($pxE) - $hx", s"($pyE) + $hy"); val s4 = f(s"($pxE) + $hx", s"($pyE) + $hy")
+      s"(${math.max(x1, x2)} >= ($pxE) - $hx AND ${math.min(x1, x2)} <= ($pxE) + $hx" +
+        s" AND ${math.max(y1, y2)} >= ($pyE) - $hy AND ${math.min(y1, y2)} <= ($pyE) + $hy" +
+        s" AND NOT (($s1 > 0 AND $s2 > 0 AND $s3 > 0 AND $s4 > 0)" +
+        s" OR ($s1 < 0 AND $s2 < 0 AND $s3 < 0 AND $s4 < 0)))"
+    }
+    s"((${containsSql(g, pxE, pyE)}) OR ${edgeTerms.mkString(" OR ")})"
+  }
+
+  /** DuckDB edge table for ONE geometry as zipped UNNEST arrays — the
+    * oracle analog of [[geomEdgesDf]] for geometries whose unrolled
+    * predicate would exceed the SQL binder's expression depth (DuckDB caps
+    * nested binary ops at 128). ::DOUBLE[] keeps literals out of DECIMAL. */
+  def edgesUnnestSql(g: Geom): String = {
+    def arr(f: ((Double, Double, Double, Double)) => Double): String =
+      g.edges.map(f).mkString("[", ", ", "]::DOUBLE[]")
+    s"""SELECT UNNEST(${arr(_._1)}) AS x1, UNNEST(${arr(_._2)}) AS y1,
+       |  UNNEST(${arr(_._3)}) AS x2, UNNEST(${arr(_._4)}) AS y2,
+       |  UNNEST(${arr(e => e._3 - e._1)}) AS dx, UNNEST(${arr(e => e._4 - e._2)}) AS dy""".stripMargin
+  }
+
   /** Edge table for a geometry set: (geom_id, x1, y1, x2, y2, dx, dy) plus
     * bbox columns for pre-filtering. Small -> broadcast. */
   def geomEdgesDf(spark: SparkSession, geoms: Seq[(String, Geom)]): DataFrame = {
@@ -94,19 +145,44 @@ object VectorOps {
     * nodata (or inside, when invert), optionally crop to the mask's data
     * window (drop=True -> get_data_window + isel_window,
     * _spatial_utils.py:492-499). */
+  /** Above this edge count the unrolled boolean chain risks the JVM 64KB
+    * codegen method limit (and its compile time); clip switches to the
+    * edge-table [[pipJoin]] formulation, which scales to arbitrary vertex
+    * counts (edges are data, not code). */
+  val EdgeUnrollLimit = 64
+
   def clipGeom(r: Raster, g: Geom, drop: Boolean = true,
-               invert: Boolean = false): Raster = {
-    val inside = containsColumn(g, col("x"), col("y"))
-    val keep = if (invert) !inside else inside
+               invert: Boolean = false, allTouched: Boolean = false): Raster = {
     val isLong = r.df.schema("value").dataType.typeName == "long"
     val nod: Column = if (isLong) lit(r.grid.nodata.toLong) else lit(r.grid.nodata)
-    val masked = r.df.withColumn("value", when(keep, col("value")).otherwise(nod))
+
+    val (masked, kept) =
+      if (!allTouched && g.edges.size > EdgeUnrollLimit) {
+        // relational PIP: crossing counts via broadcast edge join; inside
+        // pixels come back as keys and mark the mask through a (row,col)
+        // equi-join (the only added shuffle, AQE-planned).
+        val inside = pipJoin(r.df.select("row", "col", "x", "y"), Seq(("__clip", g)))
+          .select(col("row"), col("col"), lit(1).as("_in"))
+        val flagged = r.df.join(inside, Seq("row", "col"), "left")
+        val kp = if (invert) col("_in").isNull else col("_in").isNotNull
+        (flagged.withColumn("value", when(kp, col("value")).otherwise(nod)).drop("_in"),
+         flagged.filter(kp).drop("_in"))
+      } else {
+        val inside =
+          if (allTouched)
+            touchesColumn(g, col("x"), col("y"),
+              math.abs(r.grid.resX) / 2.0, math.abs(r.grid.resY) / 2.0)
+          else containsColumn(g, col("x"), col("y"))
+        val kp = if (invert) !inside else inside
+        (r.df.withColumn("value", when(kp, col("value")).otherwise(nod)),
+         r.df.filter(kp))
+      }
 
     if (!drop) return Raster(masked, r.grid)
 
     // data window of the mask (one tiny driver action, like the reference's
     // get_data_window on the rasterized mask)
-    val ext = r.df.filter(keep)
+    val ext = kept
       .agg(min("row").as("r0"), max("row").as("r1"),
            min("col").as("c0"), max("col").as("c1"))
       .collect()(0)

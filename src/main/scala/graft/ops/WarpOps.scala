@@ -211,6 +211,52 @@ object WarpOps {
        |ORDER BY k.row, k.col""".stripMargin
   }
 
+  /** SQL oracle for reprojectBilinear when dst is longlat and src is the
+    * spherical sinusoidal grid (mirrors [[reprojectBilinear]] term-for-term:
+    * wx/wy derive from the ROUND(px,9)-stabilized continuous pixel coords via
+    * exact IEEE ops, so both engines interpolate bit-identically). */
+  def bilinearSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+    val (r, lon0) = src.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
+    }
+    val t = dst.transform; val s = src.transform
+    val lonE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
+    val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
+    val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
+    val syE = s"$r * (($latE) * $D2R)"
+    val fxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9) - 0.5"
+    val fyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9) - 0.5"
+    val nod = dst.nodata.toLong
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |frac AS (SELECT row, col, $fxE AS fx, $fyE AS fy FROM dstpx),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR(fx) AS BIGINT) AS c0, CAST(FLOOR(fy) AS BIGINT) AS r0,
+       |    fx - FLOOR(fx) AS wx, fy - FLOOR(fy) AS wy
+       |  FROM frac),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${t.a}*(CAST(k.col AS DOUBLE) + 0.5) + ${t.c} AS x,
+       |  ${t.e}*(CAST(k.row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  CASE WHEN s00.value IS NULL OR s01.value IS NULL
+       |         OR s10.value IS NULL OR s11.value IS NULL
+       |         OR s00.value = $nod OR s01.value = $nod
+       |         OR s10.value = $nod OR s11.value = $nod
+       |       THEN CAST($nod AS DOUBLE)
+       |       ELSE (1.0 - k.wy) * ((1.0 - k.wx) * s00.value + k.wx * s01.value)
+       |            + k.wy * ((1.0 - k.wx) * s10.value + k.wx * s11.value) END AS value
+       |FROM keyed k
+       |LEFT JOIN src s00 ON k.r0 = s00.row AND k.c0 = s00.col
+       |LEFT JOIN src s01 ON k.r0 = s01.row AND k.c0 + 1 = s01.col
+       |LEFT JOIN src s10 ON k.r0 + 1 = s10.row AND k.c0 = s10.col
+       |LEFT JOIN src s11 ON k.r0 + 1 = s11.row AND k.c0 + 1 = s11.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
   /** Integer-factor block average (the "average" resampling kernel on a
     * downsample): out(R,C) = avg of non-nodata values in the kxk block.
     * Pure groupBy with map-side partial agg; exact arithmetic

@@ -74,6 +74,28 @@ object WindowOps {
     iselWindow(r, w)
   }
 
+  /** clip_box with bounds given in another CRS (raster_array.py:694-716):
+    * densified transform_bounds into the raster's CRS first, with the
+    * reference's antimeridian guard — a geographic raster whose transformed
+    * bounds wrap (minx > maxx) cannot be expressed as one window. The
+    * transform is pure driver-side planner math; the data path is exactly
+    * [[clipBox]] (literal pushed-down window filter, no shuffle). */
+  def clipBoxCrs(r: Raster, b: Bounds, boundsCrs: Crs,
+                 autoExpand: Boolean = false, autoExpandLimit: Int = 3,
+                 allowOneDimensionalRaster: Boolean = false): Raster = {
+    val native =
+      if (boundsCrs == r.grid.crs) b
+      else {
+        val nb = GridRef.transformBounds(b, boundsCrs, r.grid.crs)
+        if (r.grid.crs.isGeographic && nb.minx > nb.maxx)
+          throw new RioSparkException(
+            "Transformed bounds crossed the antimeridian. Transform your " +
+            "bounds manually and clip with the bounding box(es) desired.")
+        nb
+      }
+    clipBox(r, native, autoExpand, autoExpandLimit, allowOneDimensionalRaster)
+  }
+
   /** pad_xy (raster_array.py:493-571): extend coord ranges by whole pixels
     * (numpy.arange length semantics: n = ceil((stop-start)/step)) until the
     * requested pixel-CENTRE bounds are covered; fill with nodata/constant.

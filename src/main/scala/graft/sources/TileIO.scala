@@ -38,6 +38,16 @@ object TileIO {
         .as("v")))).as("cells"))
       .withColumn("data", transform(col("cells"), c => c.getField("v")))
       .drop("cells")
+      // positional decode in readPixels assumes a dense tile: a sparse input
+      // (e.g. post-filter) would silently shift every later pixel to the
+      // wrong (row,col). Guard the data column itself (an unreferenced
+      // assert column would be pruned by Catalyst) and fail the write.
+      .withColumn("data",
+        when(size(col("data")) === tileSize * tileSize, col("data"))
+          .otherwise(raise_error(concat(
+            lit(s"writeTiles: sparse tile (expected ${tileSize * tileSize} pixels, got "),
+            size(col("data")), lit(") at tile_row="), col("tile_row"),
+            lit(" tile_col="), col("tile_col")))))
     // tile-centre cell id + hilbert layout
     val t = g.transform
     val cx = lit(t.a) * ((col("tile_col") * tileSize) + tileSize / 2.0) + lit(t.c)
