@@ -134,6 +134,12 @@ object Queries {
     WarpOps.reprojectBilinear(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  /** cubic (Keys a=-0.5) reproject onto the WGS84 grid, oracle-gated like
+    * bilinear (16-way gather expressible as SQL left joins). */
+  def qReprojectCubic(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectCubic(Raster(Synth.pixels(spark, modis), modis), reprojDst)
+      .df.orderBy("row", "col")
+
   /** mask_and_scale decode chain over the synthetic raster. Dyadic
     * scale/offset literals so engine and oracle parse identical doubles. */
   val msScale = 0.125; val msOffset = 100.0
@@ -356,7 +362,7 @@ object Queries {
   def qMediaFeatures(spark: SparkSession, sfDir: String): DataFrame =
     graft.media.MediaOps.resizeFrames(
       graft.media.MediaOps.decodeFeatures(graft.media.MediaOps.synthesize(spark, 500)), 4)
-      .select("media_id", "n_bytes", "fake_width", "fake_height", "byte_checksum")
+      .select("media_id", "kind", "n_bytes", "width", "height", "checksum")
       .orderBy("media_id")
 
   // ---- oracle SQL --------------------------------------------------------
@@ -423,6 +429,9 @@ object Queries {
 
     def reprojectBilinear: String =
       WarpOps.bilinearSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
+
+    def reprojectCubic: String =
+      WarpOps.cubicSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
 
     def maskScale: String =
       MetadataOps.maskAndScaleSql(px, modis.nodata.toLong, msScale, msOffset)

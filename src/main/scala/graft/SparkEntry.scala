@@ -33,6 +33,7 @@ object SparkEntry {
     "q_merge_ds_sum" -> (Queries.qMergeDatasets("sum") _),
     "q_reproject_nearest" -> (Queries.qReprojectNearest _),
     "q_reproject_bilinear" -> (Queries.qReprojectBilinear _),
+    "q_reproject_cubic" -> (Queries.qReprojectCubic _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
     "q_resample_average" -> (Queries.qResampleAverage _),
     "q_mask_scale" -> (Queries.qMaskScale _),
@@ -104,6 +105,7 @@ object SparkEntry {
       "q_merge_ds_sum" -> Oracles.mergeDatasets("sum"),
       "q_reproject_nearest" -> Oracles.reprojectNearest,
       "q_reproject_bilinear" -> Oracles.reprojectBilinear,
+      "q_reproject_cubic" -> Oracles.reprojectCubic,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
       "q_resample_average" -> Oracles.resampleAverage,
       "q_mask_scale" -> Oracles.maskScale,

@@ -85,30 +85,37 @@ object AnnOps {
     * Per table the bucket id is an equi-join key — at corpus scale it is
     * also the shuffle/partition key. Recall < 1 by construction (measured
     * against brute force in the spec). */
+  /** (vec_id, embedding, nrm, tb, bk) with one row per (vector, table):
+    * all tables' buckets in ONE scan; the embedding+norm ride along so
+    * candidate cosines compute inside the bucket join itself (no join-back
+    * to the vector table, no separate distinct — the pair dedup is ONE
+    * aggregate; the ~nTables-fold duplicate dots are cheap codegen flops). */
+  private def bandedWithEmb(vectors: DataFrame, nPlanes: Int, nTables: Int,
+                            dim: Int): DataFrame =
+    // LshBuckets: one static-kernel call for all tables. The unrolled
+    // bucketColumn equivalent inlines nTables*nPlanes*dim literals into the
+    // generated code — past the JIT compile threshold, the hot loop ran
+    // interpreted (~30x slower end-to-end on the candidate join).
+    vectors.select(col("vec_id"), col("embedding"),
+        sqrt(norm2(col("embedding"))).as("nrm"),
+        posexplode(graft.functions.LshBuckets.column(
+          col("embedding"), nPlanes, nTables, dim)).as(Seq("tb", "bk")))
+
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 8,
               dim: Int = 64): DataFrame = {
-    // all tables' buckets in ONE pass: explode to (vec_id, table, bucket)
-    // and self-join on the composite key — 1 scan + 1 shuffle instead of
-    // nTables unioned self-joins (same candidate set)
-    val bucketStructs = (0 until nTables).map { t =>
-      struct(lit(t).as("tb"),
-        bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as("bk"))
-    }
-    val banded = vectors.select(col("vec_id"),
-        explode(array(bucketStructs: _*)).as("b"))
-      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bk").as("bk"))
-    val pairs = banded.select(col("vec_id").as("q_id"), col("tb"), col("bk"))
-      .join(banded.select(col("vec_id").as("t_id"), col("tb"), col("bk")), Seq("tb", "bk"))
+    val banded = bandedWithEmb(vectors, nPlanes, nTables, dim)
+    val pairs = banded
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"),
+        col("tb"), col("bk"))
+      .join(banded.select(col("vec_id").as("t_id"), col("embedding").as("te"),
+        col("nrm").as("tn"), col("tb"), col("bk")), Seq("tb", "bk"))
       .filter(col("q_id") =!= col("t_id"))
-      .select("q_id", "t_id").distinct()
-    val emb = vectors.select(col("vec_id"), col("embedding"),
-      sqrt(norm2(col("embedding"))).as("nrm"))
-    val joined = pairs
-      .join(emb.select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn")), "q_id")
-      .join(emb.select(col("vec_id").as("t_id"), col("embedding").as("te"), col("nrm").as("tn")), "t_id")
-      .withColumn("cos", dot(col("qe"), col("te")) / (col("qn") * col("tn")))
+      .select(col("q_id"), col("t_id"),
+        (dot(col("qe"), col("te")) / (col("qn") * col("tn"))).as("cos"))
+      // multi-table duplicate hits carry identical cos: max == dedup
+      .groupBy("q_id", "t_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
-    joined.withColumn("rank", row_number().over(w))
+    pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "t_id", "cos", "rank")
   }
@@ -153,22 +160,16 @@ object AnnOps {
     * lets it run at 10^9 vectors where the brute pairs op cannot. */
   def cosinePairsBanded(vectors: DataFrame, threshold: Double, nPlanes: Int = 4,
                         nTables: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketStructs = (0 until nTables).map { t =>
-      struct(lit(t).as("tb"),
-        bucketColumn(col("embedding"), hyperplanes(nPlanes, dim, t)).as("bk"))
-    }
-    val banded = vectors.select(col("vec_id"),
-        explode(array(bucketStructs: _*)).as("b"))
-      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bk").as("bk"))
-    val cands = banded.select(col("vec_id").as("id_a"), col("tb"), col("bk"))
-      .join(banded.select(col("vec_id").as("id_b"), col("tb"), col("bk")), Seq("tb", "bk"))
+    val banded = bandedWithEmb(vectors, nPlanes, nTables, dim)
+    banded
+      .select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("nrm").as("na"),
+        col("tb"), col("bk"))
+      .join(banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("tb"), col("bk")), Seq("tb", "bk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val emb = vectors.select(col("vec_id"), col("embedding"))
-    cands
-      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
-      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
   }

@@ -211,6 +211,121 @@ object WarpOps {
        |ORDER BY k.row, k.col""".stripMargin
   }
 
+  /** Keys cubic-convolution weight (a = -0.5, the GDAL/rasterio "cubic"
+    * kernel) for neighbour offset -1/0/1/2 given fraction t, as Column
+    * arithmetic (Horner form; [[cubicWSql]] is the textual mirror). */
+  private val CubicA = -0.5
+  private def cubicW(t: Column, off: Int): Column = off match {
+    case -1 => ((lit(CubicA) * (t + 1.0d) - lit(5.0 * CubicA)) * (t + 1.0d) + lit(8.0 * CubicA)) * (t + 1.0d) - lit(4.0 * CubicA)
+    case 0  => ((lit(CubicA + 2.0) * t - lit(CubicA + 3.0)) * t) * t + lit(1.0d)
+    case 1  => ((lit(CubicA + 2.0) * (lit(1.0d) - t) - lit(CubicA + 3.0)) * (lit(1.0d) - t)) * (lit(1.0d) - t) + lit(1.0d)
+    case 2  => ((lit(CubicA) * (lit(2.0d) - t) - lit(5.0 * CubicA)) * (lit(2.0d) - t) + lit(8.0 * CubicA)) * (lit(2.0d) - t) - lit(4.0 * CubicA)
+  }
+  private def cubicWSql(tE: String, off: Int): String = off match {
+    case -1 => s"((($CubicA * (($tE) + 1.0) - ${5.0 * CubicA}) * (($tE) + 1.0) + ${8.0 * CubicA}) * (($tE) + 1.0) - ${4.0 * CubicA})"
+    case 0  => s"(((${CubicA + 2.0} * ($tE) - ${CubicA + 3.0}) * ($tE)) * ($tE) + 1.0)"
+    case 1  => s"(((${CubicA + 2.0} * (1.0 - ($tE)) - ${CubicA + 3.0}) * (1.0 - ($tE))) * (1.0 - ($tE)) + 1.0)"
+    case 2  => s"((($CubicA * (2.0 - ($tE)) - ${5.0 * CubicA}) * (2.0 - ($tE)) + ${8.0 * CubicA}) * (2.0 - ($tE)) - ${4.0 * CubicA})"
+  }
+
+  /** Cubic inverse warp: 4x4 neighbourhood, Keys convolution (the
+    * reference's Resampling.cubic, _spatial_utils.py:307-323 ->
+    * rasterio.warp). Same shape as bilinear: 16-way key explode + one pivot
+    * aggregate; any missing/nodata neighbour -> nodata (edge rows where
+    * GDAL would clamp are nodata here — mirrored by the oracle). */
+  def reprojectCubic(srcR: Raster, dst: GridRef): Raster = {
+    val spark = srcR.df.sparkSession
+    val src = srcR.grid
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val (px, py) = srcPixelColumns(src, dst, col("row"), col("col"))
+    val fx = px - 0.5d; val fy = py - 0.5d
+    val keyed = dstPx
+      .withColumn("c0", floor(fx)).withColumn("r0", floor(fy))
+      .withColumn("tx", fx - floor(fx)).withColumn("ty", fy - floor(fy))
+    val offs = for (dr <- -1 to 2; dc <- -1 to 2) yield (dr, dc)
+    val exploded = keyed.select(col("*"),
+        explode(array(offs.map { case (dr, dc) =>
+          struct(lit(dr).as("dr"), lit(dc).as("dc")) }: _*)).as("n"))
+      .select(col("row"), col("col"), col("tx"), col("ty"),
+        (col("r0") + col("n.dr")).as("s_row"), (col("c0") + col("n.dc")).as("s_col"),
+        col("n.dr").as("dr"), col("n.dc").as("dc"))
+    val srcDf = srcR.df.select(col("row").as("j_row"), col("col").as("j_col"),
+                               col("value").as("s_value"))
+    val joined = exploded.join(srcDf,
+        exploded("s_row") === srcDf("j_row") && exploded("s_col") === srcDf("j_col"), "left")
+    val vCols = offs.map { case (dr, dc) =>
+      max(when(col("dr") === dr && col("dc") === dc, col("s_value"))).as(s"v${dr + 1}${dc + 1}")
+    }
+    val gathered = joined.groupBy("row", "col", "tx", "ty").agg(vCols.head, vCols.tail: _*)
+    val nodata = dst.nodata
+    val anyBad = offs.map { case (dr, dc) =>
+      col(s"v${dr + 1}${dc + 1}").isNull || col(s"v${dr + 1}${dc + 1}") === nodata.toLong
+    }.reduce(_ || _)
+    val interp = (-1 to 2).map { dr =>
+      cubicW(col("ty"), dr) * (-1 to 2).map { dc =>
+        cubicW(col("tx"), dc) * col(s"v${dr + 1}${dc + 1}")
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val out = gathered.select(col("row"), col("col"),
+      Synth.xColumn(dst, col("col")).as("x"),
+      Synth.yColumn(dst, col("row")).as("y"),
+      when(anyBad, lit(nodata)).otherwise(interp).as("value"))
+    Raster(out, dst)
+  }
+
+  /** SQL oracle for reprojectCubic, sinu src -> longlat dst (16 left joins,
+    * weight arithmetic textually mirrored from [[cubicW]]). */
+  def cubicSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+    val (r, lon0) = src.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
+    }
+    val t = dst.transform; val s = src.transform
+    val lonE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
+    val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
+    val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
+    val syE = s"$r * (($latE) * $D2R)"
+    val fxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9) - 0.5"
+    val fyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9) - 0.5"
+    val nod = dst.nodata.toLong
+    val offs = for (dr <- -1 to 2; dc <- -1 to 2) yield (dr, dc)
+    val joins = offs.map { case (dr, dc) =>
+      val a = s"s${dr + 1}${dc + 1}"
+      s"LEFT JOIN src $a ON k.r0 + $dr = $a.row AND k.c0 + $dc = $a.col"
+    }.mkString("\n")
+    val bad = offs.map { case (dr, dc) =>
+      val a = s"s${dr + 1}${dc + 1}"
+      s"$a.value IS NULL OR $a.value = $nod"
+    }.mkString("\n         OR ")
+    val interp = (-1 to 2).map { dr =>
+      val rowTerm = (-1 to 2).map { dc =>
+        s"${cubicWSql("k.tx", dc)} * s${dr + 1}${dc + 1}.value"
+      }.mkString(" + ")
+      s"${cubicWSql("k.ty", dr)} * ($rowTerm)"
+    }.mkString("\n            + ")
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |frac AS (SELECT row, col, $fxE AS fx, $fyE AS fy FROM dstpx),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR(fx) AS BIGINT) AS c0, CAST(FLOOR(fy) AS BIGINT) AS r0,
+       |    fx - FLOOR(fx) AS tx, fy - FLOOR(fy) AS ty
+       |  FROM frac),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${t.a}*(CAST(k.col AS DOUBLE) + 0.5) + ${t.c} AS x,
+       |  ${t.e}*(CAST(k.row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  CASE WHEN $bad
+       |       THEN CAST($nod AS DOUBLE)
+       |       ELSE $interp END AS value
+       |FROM keyed k
+       |$joins
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
   /** SQL oracle for reprojectBilinear when dst is longlat and src is the
     * spherical sinusoidal grid (mirrors [[reprojectBilinear]] term-for-term:
     * wx/wy derive from the ROUND(px,9)-stabilized continuous pixel coords via

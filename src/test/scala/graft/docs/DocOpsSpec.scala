@@ -95,19 +95,44 @@ class DocOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
-  test("media pipeline: deterministic stub features and frame resize") {
-    val media = graft.media.MediaOps.synthesize(spark, 50)
-    val feats = graft.media.MediaOps.decodeFeatures(media)
-    val resized = graft.media.MediaOps.resizeFrames(feats, 4)
+  test("media pipeline: real BMP/WAV codecs, feature extraction, frame resize") {
+    import graft.media.MediaOps
+    // pure encode->decode roundtrip (no Spark): every pixel/sample survives
+    val bmp = MediaOps.encodeBmp(17, 5, (x, y) => x * 65536 + y * 256 + 7)
+    val (w, h, px) = MediaOps.decodeBmp(bmp)
+    assert(w == 17 && h == 5)
+    for (y <- 0 until 5; x <- 0 until 17)
+      assert(px(y * 17 + x) == x * 65536 + y * 256 + 7, s"pixel ($x,$y)")
+    val wav = MediaOps.encodeWav(Array.tabulate(300)(i => (i * 3 - 450).toShort))
+    assert(MediaOps.decodeWav(wav).toSeq == (0 until 300).map(i => (i * 3 - 450).toShort))
+
+    val media = MediaOps.synthesize(spark, 50)
+    val feats = MediaOps.decodeFeatures(media)
+    val resized = MediaOps.resizeFrames(feats, 4)
     val rows = resized.orderBy("media_id").collect()
     assert(rows.length == 50)
     rows.foreach { r =>
-      assert(r.getInt(1) == 256) // 8 * 32-char md5 hex as bytes
-      assert(r.getSeq[Long](6).size == 4)
+      val id = r.getLong(0)
+      if (id % 2 == 0) { // BMP: header dims match the synthesizer's formula
+        assert(r.getString(1) == "image")
+        assert(r.getInt(3) == 16 + (id % 16).toInt && r.getInt(4) == 16 + (id % 12).toInt)
+      } else {           // WAV: sample count matches
+        assert(r.getString(1) == "audio")
+        assert(r.getInt(3) == 256 + (id % 128).toInt && r.getInt(4) == 1)
+      }
+      assert(r.getSeq[Long](7).size == 4) // frames_k
     }
+    // independent checksum recomputation for one image id
+    val id0 = 4L
+    val (w0, h0, px0) = MediaOps.decodeBmp(
+      MediaOps.encodeBmp(16 + (id0 % 16).toInt, 16 + (id0 % 12).toInt,
+        (x, y) => (((id0 * 31 + x * 7 + y * 13) % 0x1000000) & 0xffffff).toInt))
+    val expSum = px0.zipWithIndex.map { case (p, i) => p.toLong * (i + 1) }.sum
+    assert(rows.find(_.getLong(0) == id0).get.getLong(5) == expSum)
+    assert(w0 == 20 && h0 == 20)
     // determinism: second run produces identical checksums
-    val again = graft.media.MediaOps.decodeFeatures(
-      graft.media.MediaOps.synthesize(spark, 50)).orderBy("media_id").collect()
-    assert(rows.map(_.getLong(4)).toSeq == again.map(_.getLong(4)).toSeq)
+    val again = MediaOps.decodeFeatures(MediaOps.synthesize(spark, 50))
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getLong(5)).toSeq == again.map(_.getLong(5)).toSeq)
   }
 }

@@ -91,6 +91,55 @@ class WarpOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cubic interior matches hand-computed 4x4 Keys weighting") {
+    val dst = Synth.matchUtmGrid
+    // first dst pixel whose 4x4 neighbourhood is fully interior
+    val (tr, tc) = (0 until dst.height).iterator.flatMap { r =>
+      (0 until dst.width).iterator.map(c => (r, c))
+    }.find { case (r, c) =>
+      val dx = dst.transform.a * (c + 0.5) + dst.transform.c
+      val dy = dst.transform.e * (r + 0.5) + dst.transform.f
+      val (sx, sy) = Crs.reprojectPoint(dx, dy, dst.crs, modis.crs)
+      val px = (sx - modis.transform.c) / modis.transform.a - 0.5
+      val py = (sy - modis.transform.f) / modis.transform.e - 0.5
+      px >= 2 && px < 197 && py >= 2 && py < 197
+    }.get
+    val out = WarpOps.reprojectCubic(src, dst).df
+      .filter(col("row") === tr && col("col") === tc).collect()(0)
+    val dx = dst.transform.a * (tc + 0.5) + dst.transform.c
+    val dy = dst.transform.e * (tr + 0.5) + dst.transform.f
+    val (sx, sy) = Crs.reprojectPoint(dx, dy, dst.crs, modis.crs)
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val px = r9((sx - modis.transform.c) / modis.transform.a) - 0.5
+    val py = r9((sy - modis.transform.f) / modis.transform.e) - 0.5
+    val c0 = math.floor(px).toLong; val r0 = math.floor(py).toLong
+    val tx = px - c0; val ty = py - r0
+    def w(t: Double, off: Int): Double = {
+      val a = -0.5
+      off match {
+        case -1 => ((a * (t + 1) - 5 * a) * (t + 1) + 8 * a) * (t + 1) - 4 * a
+        case 0  => ((a + 2) * t - (a + 3)) * t * t + 1
+        case 1  => ((a + 2) * (1 - t) - (a + 3)) * (1 - t) * (1 - t) + 1
+        case 2  => (a * (2 - t) - 5 * a) * (2 - t) * (2 - t) + 8 * a * (2 - t) - 4 * a
+      }
+    }
+    val vs = (for (dr <- -1 to 2; dc <- -1 to 2) yield {
+      val (r, c) = (r0 + dr, c0 + dc)
+      (dr, dc) -> (if (r < 0 || r >= 200 || c < 0 || c >= 200) -28672L else synth(r, c))
+    }).toMap
+    val v = out.getDouble(4)
+    if (vs.values.exists(_ == -28672L)) assert(v == -28672.0)
+    else {
+      val exp = (-1 to 2).map { dr =>
+        w(ty, dr) * (-1 to 2).map(dc => w(tx, dc) * vs((dr, dc))).sum
+      }.sum
+      assert(math.abs(v - exp) < 1e-6, s"$v vs $exp")
+      // Keys weights partition unity: constant field stays constant
+      assert(math.abs((-1 to 2).map(w(tx, _)).sum - 1.0) < 1e-12)
+      assert(math.abs((-1 to 2).map(w(ty, _)).sum - 1.0) < 1e-12)
+    }
+  }
+
   test("resample average 4x: block mean of non-nodata, 50x50 output") {
     val out = WarpOps.resampleAverage(src, 4)
     assert(out.grid.width == 50 && out.grid.height == 50)
