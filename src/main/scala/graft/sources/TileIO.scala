@@ -68,6 +68,86 @@ object TileIO {
       .write.mode("overwrite").parquet(s"$path/_grid")
   }
 
+  /** Dataset (multi-variable) tile sink — the reference's
+    * RasterDataset.rio.to_raster loop (raster_writer.py:224-341, one band
+    * per variable): same Hilbert-ordered packing keyed additionally by
+    * `var_name`, written with var_name as a partition column so per-variable
+    * reads prune whole directories. Input: (var_name, row, col, x, y,
+    * value) + shared grid. */
+  def writeDatasetTiles(ds: org.apache.spark.sql.DataFrame, g: GridRef,
+                        path: String, tileSize: Int): Unit = {
+    require(g.width % tileSize == 0 && g.height % tileSize == 0,
+      s"v1 packs full tiles only: ${g.width}x${g.height} vs tile $tileSize")
+    val tiled = ds
+      .withColumn("tile_row", expr(s"row div $tileSize"))
+      .withColumn("tile_col", expr(s"col div $tileSize"))
+      .withColumn("local_idx",
+        (col("row") % tileSize) * tileSize + (col("col") % tileSize))
+      .groupBy("var_name", "tile_row", "tile_col")
+      .agg(array_sort(collect_list(struct(col("local_idx"), col("value").cast("double")
+        .as("v")))).as("cells"))
+      .withColumn("data", transform(col("cells"), c => c.getField("v")))
+      .drop("cells")
+      .withColumn("data",
+        when(size(col("data")) === tileSize * tileSize, col("data"))
+          .otherwise(raise_error(concat(
+            lit(s"writeDatasetTiles: sparse tile (expected ${tileSize * tileSize} pixels, got "),
+            size(col("data")), lit(") at var="), col("var_name"),
+            lit(" tile_row="), col("tile_row"), lit(" tile_col="), col("tile_col")))))
+    val t = g.transform
+    val cx = lit(t.a) * ((col("tile_col") * tileSize) + tileSize / 2.0) + lit(t.c)
+    val cy = lit(t.e) * ((col("tile_row") * tileSize) + tileSize / 2.0) + lit(t.f)
+    val (lon, lat) = WarpOps.inverseColumns(g.crs, cx, cy)
+    val withCell = tiled
+      .withColumn("cell_id", Cells.cellIdColumn(lon, lat, CellLevel))
+      .withColumn("h", lit(tileSize)).withColumn("w", lit(tileSize))
+    PartitionOps.hilbertLayout(withCell, "cell_id", CellLevel, 8)
+      .write.mode("overwrite").partitionBy("var_name").parquet(path)
+    val spark = ds.sparkSession
+    import spark.implicits._
+    Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
+         g.transform.d, g.transform.e, g.transform.f,
+         g.width, g.height, g.nodata, tileSize))
+      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size")
+      .write.mode("overwrite").parquet(s"$path/_grid")
+  }
+
+  /** Windowed multi-variable read; `variables` prunes partition directories
+    * (partition filter on var_name reaches the file listing). */
+  def readDatasetPixels(spark: SparkSession, path: String,
+                        window: Option[PixelWindow] = None,
+                        variables: Option[Seq[String]] = None):
+      (org.apache.spark.sql.DataFrame, GridRef) = {
+    val (g, ts) = readGrid(spark, path)
+    val tiles0 = spark.read.parquet(path)
+    val tiles1 = variables match {
+      case Some(vs) => tiles0.filter(col("var_name").isin(vs: _*))
+      case None => tiles0
+    }
+    val pruned = window match {
+      case Some(w) => tiles1.filter(
+        col("tile_row") >= w.rowStart / ts && col("tile_row") <= (w.rowStop - 1) / ts &&
+        col("tile_col") >= w.colStart / ts && col("tile_col") <= (w.colStop - 1) / ts)
+      case None => tiles1
+    }
+    val px = pruned
+      .select(col("var_name"), col("tile_row"), col("tile_col"),
+        posexplode(col("data")).as(Seq("i", "value")))
+      .withColumn("row", col("tile_row") * ts + expr(s"i div $ts"))
+      .withColumn("col", col("tile_col") * ts + col("i") % ts)
+      .filter(col("row") < g.height && col("col") < g.width)
+      .withColumn("x", Synth.xColumn(g, col("col")))
+      .withColumn("y", Synth.yColumn(g, col("row")))
+      .withColumn("value", col("value").cast("long"))
+      .select("var_name", "row", "col", "x", "y", "value")
+    val filtered = window match {
+      case Some(w) => px.filter(col("row") >= w.rowStart && col("row") < w.rowStop &&
+                                col("col") >= w.colStart && col("col") < w.colStop)
+      case None => px
+    }
+    (filtered, g)
+  }
+
   def readGrid(spark: SparkSession, path: String): (GridRef, Int) = {
     val r = spark.read.parquet(s"$path/_grid").collect()(0)
     (GridRef(Crs.parse(r.getAs[String]("crs")),

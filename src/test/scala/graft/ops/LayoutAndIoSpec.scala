@@ -52,6 +52,32 @@ class LayoutAndIoSpec extends SparkTestBase {
     assert(salted == plain)
   }
 
+  test("dataset tile sink: multi-variable roundtrip + variable pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dstiles").toString + "/ds1"
+    val ds = Seq("nir" -> 999L, "red" -> 12345L).map { case (v, s) =>
+      Synth.pixels(spark, modis, s).select(lit(v).as("var_name"), col("row"),
+        col("col"), col("x"), col("y"), col("value"))
+    }.reduce(_ unionByName _)
+    TileIO.writeDatasetTiles(ds, modis, dir, tileSize = 25)
+    val (back, g) = TileIO.readDatasetPixels(spark, dir)
+    assert(g == modis)
+    assert(back.count() == 80000)
+    // values identical per variable
+    val s0 = ds.groupBy("var_name").agg(sum("value")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = back.groupBy("var_name").agg(sum("value")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s0 == s1)
+    // variable selection prunes to one variable
+    val (onlyRed, _) = TileIO.readDatasetPixels(spark, dir, variables = Some(Seq("red")))
+    assert(onlyRed.count() == 40000)
+    assert(onlyRed.select("var_name").distinct().collect().map(_.getString(0)).toSeq == Seq("red"))
+    // windowed read still prunes tiles
+    val (win, _) = TileIO.readDatasetPixels(spark, dir,
+      window = Some(PixelWindow(10, 35, 30, 55)), variables = Some(Seq("nir")))
+    assert(win.count() == 625)
+  }
+
   test("tile write/read roundtrip is the identity") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tiles").toString + "/t1"
     TileIO.writeTiles(px, dir, tileSize = 25)
