@@ -134,6 +134,27 @@ object Queries {
     WarpOps.reprojectBilinear(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  /** Rotated-grid reproject_match fixtures (reference
+    * test_reproject_match__rotated, test_integration_rioxarray.py:838-889:
+    * Affine(1, 0.2, 0, 0, 1, 0) vs the unit square grid, both geographic).
+    * Same-CRS warp = pure affine algebra -> fully oracle-gated. */
+  val rotatedGrid: GridRef =
+    GridRef(Crs.WGS84, Affine(1, 0.2, 0, 0, 1, 0), 100, 100, -28672.0)
+  val squaredGrid: GridRef =
+    GridRef(Crs.WGS84, Affine(1, 0, 0, 0, 1, 0), 100, 100, -28672.0)
+
+  def qReprojectRotToSq(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectNearest(
+      Raster(Synth.pixelsFull(spark, rotatedGrid), rotatedGrid), squaredGrid)
+      .df.orderBy("row", "col")
+
+  /** squared -> rotated: the destination is non-rectilinear, so x/y are the
+    * full-affine 2D coordinate arrays (the reference's xc/yc). */
+  def qReprojectSqToRot(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectNearest(
+      Raster(Synth.pixelsFull(spark, squaredGrid), squaredGrid), rotatedGrid)
+      .df.orderBy("row", "col")
+
   /** cubic (Keys a=-0.5) reproject onto the WGS84 grid, oracle-gated like
     * bilinear (16-way gather expressible as SQL left joins). */
   def qReprojectCubic(spark: SparkSession, sfDir: String): DataFrame =
@@ -432,6 +453,11 @@ object Queries {
 
     def reprojectCubic: String =
       WarpOps.cubicSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
+
+    def reprojectRotToSq: String = WarpOps.nearestAffineSql(rotatedGrid, squaredGrid,
+      s"SELECT row, col, value FROM (${Synth.pixelsFullSql(rotatedGrid)})")
+    def reprojectSqToRot: String = WarpOps.nearestAffineSql(squaredGrid, rotatedGrid,
+      s"SELECT row, col, value FROM (${Synth.pixelsFullSql(squaredGrid)})")
 
     def maskScale: String =
       MetadataOps.maskAndScaleSql(px, modis.nodata.toLong, msScale, msOffset)

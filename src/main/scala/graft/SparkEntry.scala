@@ -34,6 +34,8 @@ object SparkEntry {
     "q_reproject_nearest" -> (Queries.qReprojectNearest _),
     "q_reproject_bilinear" -> (Queries.qReprojectBilinear _),
     "q_reproject_cubic" -> (Queries.qReprojectCubic _),
+    "q_reproject_rot2sq" -> (Queries.qReprojectRotToSq _),
+    "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
     "q_resample_average" -> (Queries.qResampleAverage _),
     "q_mask_scale" -> (Queries.qMaskScale _),
@@ -106,6 +108,8 @@ object SparkEntry {
       "q_reproject_nearest" -> Oracles.reprojectNearest,
       "q_reproject_bilinear" -> Oracles.reprojectBilinear,
       "q_reproject_cubic" -> Oracles.reprojectCubic,
+      "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
+      "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
       "q_resample_average" -> Oracles.resampleAverage,
       "q_mask_scale" -> Oracles.maskScale,

@@ -56,6 +56,42 @@ object Synth {
   def xSql(g: GridRef): String = s"${g.transform.a}*(CAST(col AS DOUBLE) + 0.5) + ${g.transform.c}"
   def ySql(g: GridRef): String = s"${g.transform.e}*(CAST(row AS DOUBLE) + 0.5) + ${g.transform.f}"
 
+  /** Full-affine (rotated/sheared) pixel-centre coordinates — the 2D
+    * xc/yc coordinate arrays of the reference's non-rectilinear grids
+    * (_spatial_utils.py:118-142). Rectilinear grids keep the 2-term
+    * [[xColumn]]/[[yColumn]] forms (their oracle texts are paired). */
+  def xColumnFull(g: GridRef, colC: Column, rowC: Column): Column =
+    lit(g.transform.a) * (colC.cast("double") + 0.5d) +
+      lit(g.transform.b) * (rowC.cast("double") + 0.5d) + lit(g.transform.c)
+  def yColumnFull(g: GridRef, colC: Column, rowC: Column): Column =
+    lit(g.transform.d) * (colC.cast("double") + 0.5d) +
+      lit(g.transform.e) * (rowC.cast("double") + 0.5d) + lit(g.transform.f)
+
+  def xSqlFull(g: GridRef, colE: String = "col", rowE: String = "row"): String =
+    s"${g.transform.a}*(CAST($colE AS DOUBLE) + 0.5) + ${g.transform.b}*(CAST($rowE AS DOUBLE) + 0.5) + ${g.transform.c}"
+  def ySqlFull(g: GridRef, colE: String = "col", rowE: String = "row"): String =
+    s"${g.transform.d}*(CAST($colE AS DOUBLE) + 0.5) + ${g.transform.e}*(CAST($rowE AS DOUBLE) + 0.5) + ${g.transform.f}"
+
+  /** Dense pixel table over a full (possibly rotated) affine. */
+  def pixelsFull(spark: SparkSession, g: GridRef, seed: Long = 12345L): DataFrame = {
+    spark.range(g.width.toLong * g.height)
+      .withColumn("row", expr(s"id div ${g.width}"))
+      .withColumn("col", col("id") % g.width)
+      .drop("id")
+      .withColumn("x", xColumnFull(g, col("col"), col("row")))
+      .withColumn("y", yColumnFull(g, col("col"), col("row")))
+      .withColumn("value", valueColumn(col("row"), col("col"), g.nodata.toLong, seed))
+  }
+
+  def pixelsFullSql(g: GridRef, seed: Long = 12345L): String =
+    s"""SELECT row, col,
+       |  ${xSqlFull(g)} AS x,
+       |  ${ySqlFull(g)} AS y,
+       |  ${valueSql(g.nodata.toLong, seed)} AS value
+       |FROM (SELECT CAST(i // ${g.width} AS BIGINT) AS row,
+       |             CAST(i % ${g.width} AS BIGINT) AS col
+       |      FROM generate_series(0, ${g.width.toLong * g.height - 1}) t(i))""".stripMargin
+
   /** Dense pixel table of one synthetic raster:
     * (row: long, col: long, x: double, y: double, value: long).
     * Fully parallel generation; `parallelism` controls initial partitioning

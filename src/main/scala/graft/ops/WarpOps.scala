@@ -122,12 +122,25 @@ object WarpOps {
     * (srcPx, srcPy) Columns given dst (row, col) Columns. */
   def srcPixelColumns(src: GridRef, dst: GridRef,
                       dRow: Column, dCol: Column): (Column, Column) = {
-    val dx = lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c)
-    val dy = lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f)
+    // rectilinear keeps the 2-term forms verbatim (oracle texts are paired);
+    // rotated/sheared grids take the full 6-parameter affine + its inverse
+    val (dx, dy) =
+      if (dst.transform.isRectilinear)
+        (lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c),
+         lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f))
+      else
+        (Synth.xColumnFull(dst, dCol, dRow), Synth.yColumnFull(dst, dCol, dRow))
     val (lonC, latC) = inverseColumns(dst.crs, dx, dy)
     val (sx, sy) = if (src.crs == dst.crs) (dx, dy) else forwardColumns(src.crs, lonC, latC)
-    val px = (sx - lit(src.transform.c)) / lit(src.transform.a)
-    val py = (sy - lit(src.transform.f)) / lit(src.transform.e)
+    val (px, py) =
+      if (src.transform.isRectilinear)
+        ((sx - lit(src.transform.c)) / lit(src.transform.a),
+         (sy - lit(src.transform.f)) / lit(src.transform.e))
+      else {
+        val inv = src.transform.invert
+        (lit(inv.a) * sx + lit(inv.b) * sy + lit(inv.c),
+         lit(inv.d) * sx + lit(inv.e) * sy + lit(inv.f))
+      }
     // 1e-9-pixel rounding so a ULP of libm difference between engines cannot
     // flip the floor at integer boundaries (matches SQL oracle text)
     (round(px, 9), round(py, 9))
@@ -170,11 +183,15 @@ object WarpOps {
     val srcDf = srcR.df.select(col("row").as("s_row"), col("col").as("s_col"),
                                col("value").as("s_value"))
     val nodata = lit(dst.nodata.toLong)
+    val (xOut, yOut) =
+      if (dst.transform.isRectilinear)
+        (Synth.xColumn(dst, col("col")), Synth.yColumn(dst, col("row")))
+      else // 2D coordinate arrays (xc/yc) of a rotated destination
+        (Synth.xColumnFull(dst, col("col"), col("row")),
+         Synth.yColumnFull(dst, col("col"), col("row")))
     val joined = keyed.join(srcDf,
         keyed("src_row") === srcDf("s_row") && keyed("src_col") === srcDf("s_col"), "left")
-      .select(col("row"), col("col"),
-        Synth.xColumn(dst, col("col")).as("x"),
-        Synth.yColumn(dst, col("row")).as("y"),
+      .select(col("row"), col("col"), xOut.as("x"), yOut.as("y"),
         coalesce(col("s_value"), nodata).as("value"))
     Raster(joined, dst)
   }
@@ -206,6 +223,48 @@ object WarpOps {
        |SELECT k.row, k.col,
        |  ${t.a}*(CAST(k.col AS DOUBLE) + 0.5) + ${t.c} AS x,
        |  ${t.e}*(CAST(k.row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
+  /** SQL oracle for same-CRS nearest warps between arbitrary (incl. rotated/
+    * sheared) affines — reproject_match between a rotated and a squared grid
+    * (reference test_reproject_match__rotated,
+    * test_integration_rioxarray.py:838-889). Pure linear algebra: dst pixel
+    * centre through the dst affine, back through the src inverse affine. */
+  def nearestAffineSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+    require(src.crs == dst.crs, "nearestAffineSql is the same-CRS (affine-only) oracle")
+    val t = dst.transform
+    def dstXE(colE: String, rowE: String) =
+      if (t.isRectilinear) s"${t.a}*(CAST($colE AS DOUBLE) + 0.5) + ${t.c}"
+      else Synth.xSqlFull(dst, colE, rowE)
+    def dstYE(colE: String, rowE: String) =
+      if (t.isRectilinear) s"${t.e}*(CAST($rowE AS DOUBLE) + 0.5) + ${t.f}"
+      else Synth.ySqlFull(dst, colE, rowE)
+    val sxE = dstXE("col", "row"); val syE = dstYE("col", "row")
+    val s = src.transform
+    val (pxE, pyE) =
+      if (s.isRectilinear)
+        (s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)", s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)")
+      else {
+        val inv = s.invert
+        (s"ROUND(${inv.a} * ($sxE) + ${inv.b} * ($syE) + ${inv.c}, 9)",
+         s"ROUND(${inv.d} * ($sxE) + ${inv.e} * ($syE) + ${inv.f}, 9)")
+      }
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
+       |    CAST(FLOOR($pyE) AS BIGINT) AS src_row
+       |  FROM dstpx),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dstXE("k.col", "k.row")} AS x,
+       |  ${dstYE("k.col", "k.row")} AS y,
        |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
        |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
        |ORDER BY k.row, k.col""".stripMargin

@@ -140,6 +140,41 @@ class WarpOpsSpec extends SparkTestBase {
     }
   }
 
+  test("rotated-grid reproject_match (both directions) matches pure-affine path") {
+    import graft.Queries
+    val rot = Queries.rotatedGrid; val sq = Queries.squaredGrid
+    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def expected(srcG: GridRef, dstG: GridRef, r: Int, c: Int): Long = {
+      val (x, y) = dstG.transform(c + 0.5, r + 0.5)
+      val inv = srcG.transform.invert
+      val px = r9(inv.a * x + inv.b * y + inv.c)
+      val py = r9(inv.d * x + inv.e * y + inv.f)
+      val sc = math.floor(px).toLong; val sr = math.floor(py).toLong
+      if (sr < 0 || sr >= srcG.height || sc < 0 || sc >= srcG.width) -28672L
+      else synth(sr, sc)
+    }
+    val r2s = WarpOps.reprojectNearest(
+      Raster(Synth.pixelsFull(spark, rot), rot), sq)
+    assert(r2s.grid == sq) // reference asserts transform preservation
+    r2s.df.filter(col("row") % 9 === 0 && col("col") % 7 === 0)
+      .select("row", "col", "value").collect().foreach { q =>
+        assert(q.getLong(2) == expected(rot, sq, q.getLong(0).toInt, q.getLong(1).toInt),
+          s"rot->sq pixel (${q.getLong(0)},${q.getLong(1)})")
+      }
+    val s2r = WarpOps.reprojectNearest(
+      Raster(Synth.pixelsFull(spark, sq), sq), rot)
+    assert(s2r.grid == rot)
+    // destination is rotated: x/y are the 2D (xc, yc) coordinate arrays
+    val sample = s2r.df.filter(col("row") === 10 && col("col") === 20).collect()(0)
+    assert(sample.getDouble(2) == 1.0 * 20.5 + 0.2 * 10.5 + 0.0) // xc
+    assert(sample.getDouble(3) == 10.5)                          // yc
+    s2r.df.filter(col("row") % 9 === 0 && col("col") % 7 === 0)
+      .select("row", "col", "value").collect().foreach { q =>
+        assert(q.getLong(2) == expected(sq, rot, q.getLong(0).toInt, q.getLong(1).toInt),
+          s"sq->rot pixel (${q.getLong(0)},${q.getLong(1)})")
+      }
+  }
+
   test("resample average 4x: block mean of non-nodata, 50x50 output") {
     val out = WarpOps.resampleAverage(src, 4)
     assert(out.grid.width == 50 && out.grid.height == 50)
