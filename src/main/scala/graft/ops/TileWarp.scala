@@ -75,8 +75,13 @@ object TileWarp {
     * 1e-9-pixel HALF_UP rounding as Spark's round(_, 9)). */
   private def srcPixelScalar(src: GridRef, dst: GridRef,
                              dRow: Long, dCol: Long): (Double, Double) = {
-    val dx = dst.transform.a * (dCol.toDouble + 0.5) + dst.transform.c
-    val dy = dst.transform.e * (dRow.toDouble + 0.5) + dst.transform.f
+    val t = dst.transform
+    val (dx, dy) =
+      if (t.isRectilinear)
+        (t.a * (dCol.toDouble + 0.5) + t.c, t.e * (dRow.toDouble + 0.5) + t.f)
+      else
+        (t.a * (dCol.toDouble + 0.5) + t.b * (dRow.toDouble + 0.5) + t.c,
+         t.d * (dCol.toDouble + 0.5) + t.e * (dRow.toDouble + 0.5) + t.f)
     val (sx, sy) =
       if (src.crs == dst.crs) (dx, dy)
       else {
@@ -84,8 +89,12 @@ object TileWarp {
         src.crs.proj.forward(lon, lat)
       }
     def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    (r9((sx - src.transform.c) / src.transform.a),
-     r9((sy - src.transform.f) / src.transform.e))
+    val s = src.transform
+    if (s.isRectilinear) (r9((sx - s.c) / s.a), r9((sy - s.f) / s.e))
+    else {
+      val inv = s.invert
+      (r9(inv.a * sx + inv.b * sy + inv.c), r9(inv.d * sx + inv.e * sy + inv.f))
+    }
   }
 
   /** Nearest-neighbour inverse warp over packed tiles. Returns dst tiles
@@ -128,6 +137,9 @@ object TileWarp {
       .withColumn("rhi", least(col("r_max") + CoverMarginPx, lit(src.height.toLong - 1)))
       .withColumn("clo", greatest(col("c_min") - CoverMarginPx, lit(0L)))
       .withColumn("chi", least(col("c_max") + CoverMarginPx, lit(src.width.toLong - 1)))
+      // (sequence over rlo div ts .. rhi div ts naturally reaches the last
+      // PARTIAL source tile when the grid is not a tile multiple — padded
+      // cells are never read because sr/sc are grid-bounds-checked)
       .filter(col("rlo") <= col("rhi") && col("clo") <= col("chi"))
       .select(col("dt_row"), col("dt_col"), col("rlo"), col("rhi"), col("clo"), col("chi"),
         explode(expr(s"sequence(rlo div $ts, rhi div $ts)")).as("st_row"))

@@ -3,8 +3,9 @@ package graft.streaming
 import graft.core.Cells
 import graft.ops.WarpOps
 import graft.core.Crs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming ingest path: incremental interleaved-document
   * arrival -> span-preserving transform -> watermarked windowed aggregation
@@ -35,5 +36,28 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .groupBy(org.apache.spark.sql.functions.window(col("ts"), window), col("cell_id"))
       .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Streaming exact dedup — keyed arbitrary state via
+    * flatMapGroupsWithState: the FIRST document carrying a fingerprint
+    * passes (min doc_id inside a micro-batch for determinism), every later
+    * duplicate — same batch or any later batch — is dropped. State is one
+    * boolean per fingerprint, partitioned by the fingerprint key, so the
+    * dedup set shards across executors and checkpoints with the query (the
+    * streaming analog of DedupOps.exactGroups; the reference has no
+    * streaming surface, SURVEY §2.7). Input: (doc_id: long, text: string)
+    * streaming frame; output: (fp, doc_id) of survivors. */
+  def streamingExactDedup(docs: DataFrame): Dataset[(String, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single((fp, rows.map(_._1).min)) })
+      .toDF("fp", "doc_id").as[(String, Long)]
   }
 }

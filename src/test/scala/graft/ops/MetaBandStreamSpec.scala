@@ -49,6 +49,29 @@ class MetaBandStreamSpec extends SparkTestBase {
     assert(r.getAs[Long]("band_2") == base + 62)
   }
 
+  test("streaming exact dedup: first fingerprint wins across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingExactDedup(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      // batch 1: two distinct texts, one in-batch duplicate
+      input.addData((1L, "alpha beta"), (2L, "ALPHA   beta"), (3L, "gamma"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicates + one new text
+      input.addData((4L, "alpha beta"), (5L, "gamma"), (6L, "delta"))
+      q.processAllAvailable()
+      val rows = spark.sql("select fp, doc_id from dedupstream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // fingerprint normalizes case+whitespace: docs 1 and 2 collide -> min id 1
+      assert(rows.values.toSet == Set(1L, 3L, 6L),
+        s"survivors must be first-seen ids, got $rows")
+      assert(rows.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming ingest: watermarked windowed cell counts over doc spans") {
     implicit val sql = spark.sqlContext
     import spark.implicits._

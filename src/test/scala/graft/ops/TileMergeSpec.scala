@@ -31,6 +31,33 @@ class TileMergeSpec extends SparkTestBase {
     }
   }
 
+  test("composed tile-native merge->warp == exploded merge->warp (partial union tiles)") {
+    val a = Raster(Synth.pixels(spark, modis), modis)
+    val b = Raster(Synth.pixels(spark, modisB, seed = 777L), modisB)
+    val ts = 40
+    // exploded reference path
+    val merged = MergeOps.merge(Seq(a, b), "first")
+    val dst = GridRef.suggestedWarpOutput(merged.grid, Crs.WGS84)
+    val expected = WarpOps.reprojectNearest(merged, dst).df
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // tile-native composition: packed tiles flow merge -> warp directly
+    val (mergedTiles, mergedGrid) = TileMerge.mergeTiles(
+      Seq(TileWarp.pack(a, ts) -> modis, TileWarp.pack(b, ts) -> modisB), "first", ts)
+    assert(mergedGrid == merged.grid)
+    val got = TileWarp.toPixels(
+        TileWarp.reprojectNearestPacked(
+          mergedTiles.toDF().withColumnRenamed("tile_row", "st_row")
+            .withColumnRenamed("tile_col", "st_col"),
+          mergedGrid, dst, ts), dst, ts)
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == expected.size)
+    var diffs = 0
+    expected.foreach { case (k, v) => if (got(k) != v) diffs += 1 }
+    assert(diffs == 0, s"$diffs pixels differ in the composed tile pipeline")
+  }
+
   test("tile merge plans no cartesian product") {
     val a = Raster(Synth.pixels(spark, modis), modis)
     val b = Raster(Synth.pixels(spark, modisB, seed = 777L), modisB)
