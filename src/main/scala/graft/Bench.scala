@@ -70,7 +70,7 @@ object Bench {
       val packedB = graft.ops.TileWarp.pack(
         Raster(Synth.pixels(spark, bG, seed = 777L, parallelism = cpus.toInt * 4), bG), ts).persist()
       packedA.count(); packedB.count()
-      val r = time {
+      def run(): Long = {
         val (mergedTiles, mergedGrid) = graft.ops.TileMerge.mergeTiles(
           Seq(packedA -> aG, packedB -> bG), "first", ts)
         val dst = GridRef.suggestedWarpOutput(mergedGrid, graft.core.Crs.WGS84)
@@ -79,6 +79,10 @@ object Bench {
             .withColumnRenamed("tile_col", "st_col"),
           mergedGrid, dst, ts).count()
       }
+      // min-of-2 after a codegen/JIT warm-up pass, same protocol as the rest
+      val (_, s1) = time { run() }
+      val (_, s2) = time { run() }
+      val r = ((), math.min(s1, s2))
       packedA.unpersist(); packedB.unpersist()
       r
     }

@@ -122,6 +122,14 @@ object Queries {
     WarpOps.resampleAverage(Raster(Synth.pixels(spark, modis), modis), 4)
       .df.orderBy("row", "col")
 
+  def qResampleDown(method: String)(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.resampleDown(Raster(Synth.pixels(spark, modis), modis), 4, method)
+      .df.orderBy("row", "col")
+
+  def qResampleMode(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.resampleMode(Raster(Synth.pixels(spark, modis), modis), 4)
+      .df.orderBy("row", "col")
+
   /** reproject_match (nearest) onto the fixture UTM grid — no SQL oracle
     * (transverse-Mercator series in SQL); exact-checked in WarpSpec. */
   def qReprojectMatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -474,6 +482,10 @@ object Queries {
     }
 
     def resampleAverage: String = WarpOps.resampleAverageSql(modis, 4, pxSrcSql)
+    def resampleDown(method: String): String =
+      WarpOps.resampleDownSql(modis, 4, method, s"SELECT row, col, value FROM ($px)")
+    def resampleMode: String =
+      WarpOps.resampleModeSql(modis, 4, s"SELECT row, col, value FROM ($px)")
 
     def clipGeomDrop: String = {
       val contains = VectorOps.containsSql(clipGeom, "px.x", "px.y")

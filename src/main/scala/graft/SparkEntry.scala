@@ -38,6 +38,14 @@ object SparkEntry {
     "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
     "q_resample_average" -> (Queries.qResampleAverage _),
+    "q_resample_min" -> (Queries.qResampleDown("min") _),
+    "q_resample_max" -> (Queries.qResampleDown("max") _),
+    "q_resample_sum" -> (Queries.qResampleDown("sum") _),
+    "q_resample_rms" -> (Queries.qResampleDown("rms") _),
+    "q_resample_med" -> (Queries.qResampleDown("med") _),
+    "q_resample_q1" -> (Queries.qResampleDown("q1") _),
+    "q_resample_q3" -> (Queries.qResampleDown("q3") _),
+    "q_resample_mode" -> (Queries.qResampleMode _),
     "q_mask_scale" -> (Queries.qMaskScale _),
     "q_clip_box_crs" -> (Queries.qClipBoxCrs _),
     "q_clip_geom" -> (Queries.qClipGeom _),
@@ -112,6 +120,14 @@ object SparkEntry {
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
       "q_resample_average" -> Oracles.resampleAverage,
+      "q_resample_min" -> Oracles.resampleDown("min"),
+      "q_resample_max" -> Oracles.resampleDown("max"),
+      "q_resample_sum" -> Oracles.resampleDown("sum"),
+      "q_resample_rms" -> Oracles.resampleDown("rms"),
+      "q_resample_med" -> Oracles.resampleDown("med"),
+      "q_resample_q1" -> Oracles.resampleDown("q1"),
+      "q_resample_q3" -> Oracles.resampleDown("q3"),
+      "q_resample_mode" -> Oracles.resampleMode,
       "q_mask_scale" -> Oracles.maskScale,
       "q_clip_box_crs" -> Oracles.clipBox(
         GridRef.transformBounds(clipCrsWgsBounds, Crs.WGS84, Crs.MODIS_SINU)),

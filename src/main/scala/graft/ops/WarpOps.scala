@@ -473,6 +473,127 @@ object WarpOps {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Integer-factor downsample kernels beyond average — the aggregate-shaped
+    * half of the rasterio Resampling enum (_spatial_utils.py:307-323):
+    * min / max / sum / rms / med / q1 / q3, all ONE hash aggregate with
+    * map-side partial aggregation over non-nodata contributions (empty
+    * blocks -> nodata). `mode` is [[resampleMode]] (needs a per-value count
+    * level). Quantiles use linear interpolation at rank q*(n-1) — both
+    * engines land on the same dyadic-exact doubles for integer inputs. */
+  def resampleDown(r: Raster, factor: Int, method: String): Raster = {
+    val g = r.grid
+    val outW = g.width / factor; val outH = g.height / factor
+    val dst = GridRef(g.crs,
+      g.transform.compose(Affine.scale(factor.toDouble, factor.toDouble)),
+      outW, outH, g.nodata)
+    val nodata = g.nodata.toLong
+    val vv = when(col("value") =!= nodata, col("value"))
+    def pct(q: String): Column =
+      coalesce(expr(s"percentile(CASE WHEN value <> $nodata THEN value END, ${q}D)"),
+               lit(g.nodata))
+    val agg: Column = method match {
+      case "min" => coalesce(min(vv), lit(nodata))
+      case "max" => coalesce(max(vv), lit(nodata))
+      case "sum" => coalesce(sum(vv), lit(nodata))
+      case "rms" => when(count(vv) > 0,
+          sqrt(sum(vv * vv).cast("double") / count(vv))).otherwise(lit(g.nodata))
+      case "med" => pct("0.5")
+      case "q1"  => pct("0.25")
+      case "q3"  => pct("0.75")
+      case m => throw new IllegalArgumentException(s"resampleDown does not handle $m")
+    }
+    val df = r.df
+      .filter(col("row") < outH.toLong * factor && col("col") < outW.toLong * factor)
+      .groupBy(expr(s"row div $factor").as("row"), expr(s"col div $factor").as("col"))
+      .agg(agg.as("value"))
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"), col("value"))
+    Raster(df, dst)
+  }
+
+  def resampleDownSql(src: GridRef, factor: Int, method: String, srcSql: String): String = {
+    val outW = src.width / factor; val outH = src.height / factor
+    val dstT = src.transform.compose(Affine.scale(factor.toDouble, factor.toDouble))
+    val nod = src.nodata.toLong
+    val vv = s"CASE WHEN value <> $nod THEN value END"
+    def pct(q: String) = s"COALESCE(quantile_cont($vv, $q), CAST($nod AS DOUBLE))"
+    val aggE = method match {
+      case "min" => s"COALESCE(min($vv), $nod)"
+      case "max" => s"COALESCE(max($vv), $nod)"
+      case "sum" => s"COALESCE(CAST(sum($vv) AS BIGINT), $nod)"
+      case "rms" => s"CASE WHEN count($vv) > 0 THEN SQRT(CAST(sum(CASE WHEN value <> $nod THEN value*value END) AS DOUBLE) / count($vv)) ELSE CAST($nod AS DOUBLE) END"
+      case "med" => pct("0.5")
+      case "q1"  => pct("0.25")
+      case "q3"  => pct("0.75")
+    }
+    s"""WITH src AS ($srcSql)
+       |SELECT row // $factor AS row, col // $factor AS col,
+       |  ${dstT.a}*(CAST(col // $factor AS DOUBLE) + 0.5) + ${dstT.c} AS x,
+       |  ${dstT.e}*(CAST(row // $factor AS DOUBLE) + 0.5) + ${dstT.f} AS y,
+       |  $aggE AS value
+       |FROM src
+       |WHERE row < ${outH.toLong * factor} AND col < ${outW.toLong * factor}
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Mode downsample (most frequent non-nodata value per block; determinism
+    * on count ties: smallest value wins — GDAL's scan order is not
+    * reproducible, so the engine defines and mirrors its own tie rule). */
+  def resampleMode(r: Raster, factor: Int): Raster = {
+    val g = r.grid
+    val outW = g.width / factor; val outH = g.height / factor
+    val dst = GridRef(g.crs,
+      g.transform.compose(Affine.scale(factor.toDouble, factor.toDouble)),
+      outW, outH, g.nodata)
+    val nodata = g.nodata.toLong
+    val spark = r.df.sparkSession
+    val counts = r.df
+      .filter(col("row") < outH.toLong * factor && col("col") < outW.toLong * factor)
+      .filter(col("value") =!= nodata)
+      .groupBy(expr(s"row div $factor").as("row"), expr(s"col div $factor").as("col"),
+               col("value"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("row", "col").orderBy(col("n").desc, col("value").asc)
+    val picked = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("row"), col("col"), col("value"))
+    val blocks = spark.range(outW.toLong * outH)
+      .select(expr(s"id div $outW").as("row"), (col("id") % outW).as("col"))
+    val df = blocks.join(picked, Seq("row", "col"), "left")
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        coalesce(col("value"), lit(nodata)).as("value"))
+    Raster(df, dst)
+  }
+
+  def resampleModeSql(src: GridRef, factor: Int, srcSql: String): String = {
+    val outW = src.width / factor; val outH = src.height / factor
+    val dstT = src.transform.compose(Affine.scale(factor.toDouble, factor.toDouble))
+    val nod = src.nodata.toLong
+    s"""WITH src AS ($srcSql),
+       |cnt AS (
+       |  SELECT row // $factor AS row, col // $factor AS col, value, count(*) AS n
+       |  FROM src
+       |  WHERE value <> $nod AND row < ${outH.toLong * factor} AND col < ${outW.toLong * factor}
+       |  GROUP BY 1, 2, 3),
+       |picked AS (
+       |  SELECT row, col, value,
+       |    row_number() OVER (PARTITION BY row, col ORDER BY n DESC, value ASC) AS rn
+       |  FROM cnt),
+       |blocks AS (
+       |  SELECT CAST(i // $outW AS BIGINT) AS row, CAST(i % $outW AS BIGINT) AS col
+       |  FROM generate_series(0, ${outW.toLong * outH - 1}) t(i))
+       |SELECT b.row, b.col,
+       |  ${dstT.a}*(CAST(b.col AS DOUBLE) + 0.5) + ${dstT.c} AS x,
+       |  ${dstT.e}*(CAST(b.row AS DOUBLE) + 0.5) + ${dstT.f} AS y,
+       |  COALESCE(p.value, $nod) AS value
+       |FROM blocks b LEFT JOIN (SELECT * FROM picked WHERE rn = 1) p
+       |  ON b.row = p.row AND b.col = p.col
+       |ORDER BY b.row, b.col""".stripMargin
+  }
+
   /** Bilinear inverse warp: 2x2 neighbourhood gathered via a 4-way key
     * explode + single pivot aggregate (deterministic weighted sum, no
     * accumulation-order dependence). Any nodata neighbour -> nodata. */

@@ -185,6 +185,54 @@ class WarpOpsSpec extends SparkTestBase {
     assert(math.abs(v - block.sum.toDouble / block.size) < 1e-12)
   }
 
+  test("downsample kernel zoo matches pure-Scala block computation") {
+    def blockVals(r0: Long, c0: Long): Seq[Long] =
+      (for (r <- r0 * 4 until r0 * 4 + 4; c <- c0 * 4 until c0 * 4 + 4;
+            v = synth(r, c) if v != -28672L) yield v).toSeq
+    def pctl(vs: Seq[Long], q: Double): Double = {
+      val s = vs.sorted
+      val pos = (s.size - 1) * q
+      val lo = pos.toInt; val f = pos - lo
+      if (lo + 1 >= s.size) s(lo).toDouble
+      else s(lo) + (s(lo + 1) - s(lo)) * f
+    }
+    val testBlocks = Seq((3L, 7L), (0L, 0L), (12L, 44L))
+    for (m <- Seq("min", "max", "sum")) {
+      val out = WarpOps.resampleDown(src, 4, m).df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+      testBlocks.foreach { case (r0, c0) =>
+        val vs = blockVals(r0, c0)
+        val exp = m match {
+          case "min" => vs.min; case "max" => vs.max; case "sum" => vs.sum
+        }
+        assert(out((r0, c0)) == exp, s"$m block ($r0,$c0)")
+      }
+    }
+    for ((m, q) <- Seq("med" -> 0.5, "q1" -> 0.25, "q3" -> 0.75)) {
+      val out = WarpOps.resampleDown(src, 4, m).df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      testBlocks.foreach { case (r0, c0) =>
+        assert(out((r0, c0)) == pctl(blockVals(r0, c0), q), s"$m block ($r0,$c0)")
+      }
+    }
+    val rms = WarpOps.resampleDown(src, 4, "rms").df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    testBlocks.foreach { case (r0, c0) =>
+      val vs = blockVals(r0, c0)
+      val exp = math.sqrt(vs.map(v => v * v).sum.toDouble / vs.size)
+      assert(rms((r0, c0)) == exp, s"rms block ($r0,$c0)")
+    }
+    val mode = WarpOps.resampleMode(src, 4).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(mode.size == 2500)
+    testBlocks.foreach { case (r0, c0) =>
+      val vs = blockVals(r0, c0)
+      val maxN = vs.groupBy(identity).map(_._2.size).max
+      val exp = vs.groupBy(identity).filter(_._2.size == maxN).keys.min
+      assert(mode((r0, c0)) == exp, s"mode block ($r0,$c0)")
+    }
+  }
+
   test("warp column math: TM forward columns agree with scalar Karney code") {
     import spark.implicits._
     val pts = Seq((-94.2, 44.9), (-93.0, 45.4), (-92.1, 45.9), (-95.5, 44.1))
