@@ -169,6 +169,85 @@ object Queries {
     WarpOps.reprojectCubic(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  // ---- GCP / RPC warp ----------------------------------------------------
+
+  /** GCP fixture: the reference homography scenario
+    * (test_integration_rioxarray.py:1196-1211 — a 4-GCP UTM18 quadrilateral)
+    * with pixel coordinates rescaled 800->200 to fit the synthetic image;
+    * ground coordinates kept verbatim. 4 GCPs -> homography, matching the
+    * GDAL 3.11+ METHOD=GCP_HOMOGRAPHY default. */
+  val gcpCrs: Crs = Crs.utm(18, north = true)
+  val gcpFixture: Seq[Gcp] = Seq(
+    Gcp(row = 0, col = 0, x = 156113, y = 2818720),
+    Gcp(row = 0, col = 200, x = 338353, y = 2785790),
+    Gcp(row = 200, col = 200, x = 297939, y = 2618518),
+    Gcp(row = 200, col = 0, x = 115698, y = 2651448))
+
+  /** 6-GCP variant: forces the order-1 polynomial (least-squares affine)
+    * branch of the GDAL method selection. The two interior points are
+    * deliberately off the exact quadrilateral so the LSQ is non-trivial. */
+  val gcpAffineFixture: Seq[Gcp] = gcpFixture ++ Seq(
+    Gcp(row = 100, col = 100, x = 226900.0, y = 2718500.0),
+    Gcp(row = 50, col = 150, x = 283000.0, y = 2760000.0))
+
+  /** GCP warp through the stored-metadata path: write_gcps serializes to the
+    * GeoJSON FeatureCollection shape, get_gcps parses it back (the
+    * reference's reproject(gcps=...) kwargs merge, raster_array.py:355-375),
+    * then the fitted homography drives the inverse warp. */
+  def qReprojectGcps(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = MetadataOps.writeGcps(
+      Raster(Synth.pixels(spark, modis), modis), gcpFixture, gcpCrs)
+    val gcps = MetadataOps.getGcps(r).get
+    WarpOps.reprojectGcpNearest(r, gcps, gcpCrs, gcpCrs).df.orderBy("row", "col")
+  }
+
+  def qReprojectGcpsAffine(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectGcpNearest(Raster(Synth.pixels(spark, modis), modis),
+      gcpAffineFixture, gcpCrs, gcpCrs).df.orderBy("row", "col")
+
+  /** Synthetic RPC00B camera: dominant linear terms (line ~ -P, samp ~ L)
+    * plus small quadratic/cubic distortion and non-trivial denominators, so
+    * every polynomial branch is exercised while staying well-conditioned
+    * over the 200x200 image. All coefficients are literals mirrored into the
+    * DuckDB oracle. */
+  val rpcFixture: Rpc = {
+    def c(pairs: (Int, Double)*): Array[Double] = {
+      val a = new Array[Double](20); pairs.foreach { case (i, v) => a(i) = v }; a
+    }
+    Rpc(
+      lineOff = 100.0, sampOff = 100.0, latOff = 45.0, longOff = -94.0, heightOff = 0.0,
+      lineScale = 105.0, sampScale = 105.0, latScale = 1.0, longScale = 1.0, heightScale = 500.0,
+      lineNum = c(2 -> -1.0, 4 -> 0.02, 7 -> 0.01, 15 -> 0.005),
+      lineDen = c(0 -> 1.0, 1 -> 0.001, 2 -> 0.0005),
+      sampNum = c(1 -> 1.0, 4 -> -0.015, 8 -> 0.008, 11 -> 0.004),
+      sampDen = c(0 -> 1.0, 2 -> 0.001))
+  }
+
+  /** Destination grid for the RPC warp: image corners inverted to ground by
+    * the driver-side Newton (Rpc.imageToGround), GDAL-style square pixel
+    * from the transformed diagonal. Computed once on the driver; the per-
+    * pixel path never iterates. */
+  lazy val rpcDst: GridRef = {
+    val corners = Seq((0.0, 0.0), (0.0, 200.0), (200.0, 0.0), (200.0, 200.0))
+      .map { case (r, c) => rpcFixture.imageToGround(r, c, 0.0) }
+    val minLon = corners.map(_._1).min; val maxLon = corners.map(_._1).max
+    val minLat = corners.map(_._2).min; val maxLat = corners.map(_._2).max
+    val (tlLon, tlLat) = corners.head; val (brLon, brLat) = corners.last
+    val pixel = math.sqrt((brLon - tlLon) * (brLon - tlLon) +
+                          (brLat - tlLat) * (brLat - tlLat)) / math.sqrt(2.0 * 200 * 200)
+    GridRef(Crs.WGS84, Affine.northUp(minLon, maxLat, pixel, pixel),
+      ((maxLon - minLon) / pixel + 0.5).toInt, ((maxLat - minLat) / pixel + 0.5).toInt,
+      modis.nodata)
+  }
+
+  /** RPC warp through the stored-metadata path (write_rpcs/get_rpcs JSON
+    * roundtrip, rioxarray.py:1066-1134). */
+  def qReprojectRpcs(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = MetadataOps.writeRpcs(Raster(Synth.pixels(spark, modis), modis), rpcFixture)
+    val rpc = MetadataOps.getRpcs(r).get
+    WarpOps.reprojectRpcNearest(r, rpc, rpcDst, height = 0.0).df.orderBy("row", "col")
+  }
+
   /** mask_and_scale decode chain over the synthetic raster. Dyadic
     * scale/offset literals so engine and oracle parse identical doubles. */
   val msScale = 0.125; val msOffset = 100.0
@@ -466,6 +545,23 @@ object Queries {
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(rotatedGrid)})")
     def reprojectSqToRot: String = WarpOps.nearestAffineSql(squaredGrid, rotatedGrid,
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(squaredGrid)})")
+
+    def reprojectGcps: String = {
+      val h = Geoloc.fitAuto(gcpFixture)
+      val dst = Geoloc.suggestedWarpOutputGcp(modis.width, modis.height, h,
+                                              gcpCrs, gcpCrs, modis.nodata)
+      WarpOps.gcpNearestSql(dst, h.invert, pxSrcSql)
+    }
+
+    def reprojectGcpsAffine: String = {
+      val h = Geoloc.fitAuto(gcpAffineFixture)
+      val dst = Geoloc.suggestedWarpOutputGcp(modis.width, modis.height, h,
+                                              gcpCrs, gcpCrs, modis.nodata)
+      WarpOps.gcpNearestSql(dst, h.invert, pxSrcSql)
+    }
+
+    def reprojectRpcs: String =
+      WarpOps.rpcNearestSql(rpcDst, rpcFixture, 0.0, pxSrcSql)
 
     def maskScale: String =
       MetadataOps.maskAndScaleSql(px, modis.nodata.toLong, msScale, msOffset)

@@ -37,6 +37,9 @@ object SparkEntry {
     "q_reproject_rot2sq" -> (Queries.qReprojectRotToSq _),
     "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
+    "q_reproject_gcps" -> (Queries.qReprojectGcps _),
+    "q_reproject_gcps_affine" -> (Queries.qReprojectGcpsAffine _),
+    "q_reproject_rpcs" -> (Queries.qReprojectRpcs _),
     "q_resample_average" -> (Queries.qResampleAverage _),
     "q_resample_min" -> (Queries.qResampleDown("min") _),
     "q_resample_max" -> (Queries.qResampleDown("max") _),
@@ -119,6 +122,9 @@ object SparkEntry {
       "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
+      "q_reproject_gcps" -> Oracles.reprojectGcps,
+      "q_reproject_gcps_affine" -> Oracles.reprojectGcpsAffine,
+      "q_reproject_rpcs" -> Oracles.reprojectRpcs,
       "q_resample_average" -> Oracles.resampleAverage,
       "q_resample_min" -> Oracles.resampleDown("min"),
       "q_resample_max" -> Oracles.resampleDown("max"),

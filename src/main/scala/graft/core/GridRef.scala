@@ -23,7 +23,8 @@ final case class Bounds(minx: Double, miny: Double, maxx: Double, maxy: Double) 
   * reference's accessor metadata (CRS, transform, shape, nodata; see
   * rioxarray/rioxarray.py:63-77 and SURVEY.md §1.2). Broadcast-sized. */
 final case class GridRef(crs: Crs, transform: Affine, width: Int, height: Int,
-                         nodata: Double) {
+                         nodata: Double,
+                         attrs: Map[String, String] = Map.empty) {
 
   /** Pixel-edge bounds (left, bottom, right, top) — north-up grids.
     * Mirrors semantics of rioxarray.py:793-852. */

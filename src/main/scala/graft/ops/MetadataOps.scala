@@ -76,4 +76,43 @@ object MetadataOps {
     * analog of dimension auto-detection override). */
   def setSpatialDims(r: Raster, xDim: String, yDim: String): Raster =
     Raster(r.df.withColumnRenamed("col", xDim).withColumnRenamed("row", yDim), r.grid)
+
+  /** write_gcps: serialize GroundControlPoints as a GeoJSON FeatureCollection
+    * into the grid sidecar — the same storage shape the reference uses on the
+    * grid-mapping coordinate (rioxarray.py:982-1030, GeoJSON layout
+    * _spatial_utils.py:271-303: properties {id, info, row, col}, Point
+    * geometry [x, y, z]). The GCP CRS rides alongside under "gcps_crs". */
+  def writeGcps(r: Raster, gcps: Seq[Gcp], gcpCrs: Crs): Raster = {
+    val features = gcps.map { g =>
+      s"""{"type": "Feature", "properties": {"id": ${Json.str(g.id)}, """ +
+        s""""info": ${Json.str(g.info)}, "row": ${Json.num(g.row)}, "col": ${Json.num(g.col)}}, """ +
+        s""""geometry": {"type": "Point", "coordinates": [${Json.num(g.x)}, ${Json.num(g.y)}, ${Json.num(g.z)}]}}"""
+    }
+    val fc = s"""{"type": "FeatureCollection", "features": [${features.mkString(", ")}]}"""
+    r.copy(grid = r.grid.copy(attrs =
+      r.grid.attrs + ("gcps" -> fc) + ("gcps_crs" -> gcpCrs.key)))
+  }
+
+  /** get_gcps: parse the stored FeatureCollection back (rioxarray.py:1032-1064). */
+  def getGcps(r: Raster): Option[Seq[Gcp]] =
+    r.grid.attrs.get("gcps").map { json =>
+      val fc = Json.parse(json)
+      val feats = fc.get("features")
+      (0 until feats.size()).map { i =>
+        val f = feats.get(i); val p = f.get("properties")
+        val coords = f.get("geometry").get("coordinates")
+        Gcp(row = p.get("row").asDouble(), col = p.get("col").asDouble(),
+            x = coords.get(0).asDouble(), y = coords.get(1).asDouble(),
+            z = if (coords.size() > 2) coords.get(2).asDouble() else 0.0,
+            id = p.get("id").asText(), info = p.get("info").asText())
+      }
+    }
+
+  /** write_rpcs: store the RPC dict as JSON (rioxarray.py:1066-1113 — RPC CRS
+    * is always EPSG:4326 per the public convention, rioxarray.py:1098). */
+  def writeRpcs(r: Raster, rpc: Rpc): Raster =
+    r.copy(grid = r.grid.copy(attrs = r.grid.attrs + ("rpcs" -> rpc.toJson)))
+
+  /** get_rpcs (rioxarray.py:1115-1134). */
+  def getRpcs(r: Raster): Option[Rpc] = r.grid.attrs.get("rpcs").map(Rpc.fromJson)
 }

@@ -638,4 +638,182 @@ object WarpOps {
       when(anyBad, lit(nodata)).otherwise(interp).as("value"))
     Raster(out, dst)
   }
+
+  // --- GCP / RPC (non-affine georeferencing) warps -------------------------
+  // Reference surface: raster_array.py:355-375 merges gcps/rpcs into the
+  // reproject kwargs and GDAL's transformers take over (_reproj_get_src,
+  // use_affine=False). Here the fitted transform (Geoloc.fitAuto) or the RPC
+  // ground→image polynomials ARE the inverse-warp key function — pure Column
+  // arithmetic, so the distributed plan is identical in shape to
+  // reprojectNearest: generate dst grid, compute src keys in codegen, one
+  // equi-join. No iteration anywhere on the executor path.
+
+  /** Shared nearest-gather: generate the dst grid, key each pixel by the
+    * given continuous source-pixel Columns (over "row"/"col"), equi-join. */
+  private def nearestWarpFromPx(srcR: Raster, dst: GridRef,
+                                pxy: (Column, Column) => (Column, Column)): Raster = {
+    val spark = srcR.df.sparkSession
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val (px, py) = pxy(col("row"), col("col"))
+    val keyed = dstPx
+      .withColumn("src_col", floor(round(px, 9)))
+      .withColumn("src_row", floor(round(py, 9)))
+    val srcDf = srcR.df.select(col("row").as("s_row"), col("col").as("s_col"),
+                               col("value").as("s_value"))
+    val joined = keyed.join(srcDf,
+        keyed("src_row") === srcDf("s_row") && keyed("src_col") === srcDf("s_col"), "left")
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        coalesce(col("s_value"), lit(dst.nodata.toLong)).as("value"))
+    Raster(joined, dst)
+  }
+
+  /** reproject(dst_crs, gcps=...): fit the GCP transform (homography for 4-5
+    * points, order-1 polynomial otherwise — GDAL 3.11+ selection), size the
+    * destination via the GCP SuggestedWarpOutput, inverse-warp through the
+    * closed-form homography inverse. The source raster's own affine is
+    * ignored, exactly as in the reference (use_affine=False). */
+  def reprojectGcpNearest(srcR: Raster, gcps: Seq[Gcp], gcpCrs: Crs,
+                          dstCrs: Crs): Raster = {
+    val h = Geoloc.fitAuto(gcps)
+    val dst = Geoloc.suggestedWarpOutputGcp(srcR.grid.width, srcR.grid.height, h,
+                                            gcpCrs, dstCrs, srcR.grid.nodata)
+    val hInv = h.invert
+    nearestWarpFromPx(srcR, dst, { (dRow, dCol) =>
+      val dx = lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c)
+      val dy = lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f)
+      val (gx, gy) =
+        if (dstCrs == gcpCrs) (dx, dy)
+        else { val (lo, la) = inverseColumns(dstCrs, dx, dy); forwardColumns(gcpCrs, lo, la) }
+      homographyColumns(hInv, gx, gy)
+    })
+  }
+
+  /** Apply a homography to planar Columns (same op order as the SQL text). */
+  def homographyColumns(h: Homography, x: Column, y: Column): (Column, Column) = {
+    val m = h.m
+    val w = lit(m(6)) * x + lit(m(7)) * y + lit(m(8))
+    ((lit(m(0)) * x + lit(m(1)) * y + lit(m(2))) / w,
+     (lit(m(3)) * x + lit(m(4)) * y + lit(m(5))) / w)
+  }
+
+  /** DuckDB mirror of [[reprojectGcpNearest]] for the dstCrs == gcpCrs case:
+    * the inverse homography has literal coefficients, so the whole key
+    * function is one rational expression. */
+  /** Double literal for DuckDB via a string cast: strtod is correctly
+    * rounded, whereas a bare 17-digit literal becomes DECIMAL whose
+    * int128-based conversion to double can land 1 ulp off the Java parse.
+    * Matters for raw double *output* columns (the keyed path is protected by
+    * ROUND(..., 9)). */
+  def dlit(v: Double): String = s"('$v'::DOUBLE)"
+
+  def gcpNearestSql(dst: GridRef, hInv: Homography, srcSql: String): String = {
+    val t = dst.transform; val m = hInv.m
+    val gxE = s"${dlit(t.a)}*(CAST(col AS DOUBLE) + 0.5) + ${dlit(t.c)}"
+    val gyE = s"${dlit(t.e)}*(CAST(row AS DOUBLE) + 0.5) + ${dlit(t.f)}"
+    val wE = s"${dlit(m(6))}*gx + ${dlit(m(7))}*gy + ${dlit(m(8))}"
+    val pxE = s"(${dlit(m(0))}*gx + ${dlit(m(1))}*gy + ${dlit(m(2))}) / ($wE)"
+    val pyE = s"(${dlit(m(3))}*gx + ${dlit(m(4))}*gy + ${dlit(m(5))}) / ($wE)"
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |ground AS (
+       |  SELECT row, col, $gxE AS gx, $gyE AS gy FROM dstpx),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR(ROUND($pxE, 9)) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(ROUND($pyE, 9)) AS BIGINT) AS src_row
+       |  FROM ground),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dlit(t.a)}*(CAST(k.col AS DOUBLE) + 0.5) + ${dlit(t.c)} AS x,
+       |  ${dlit(t.e)}*(CAST(k.row AS DOUBLE) + 0.5) + ${dlit(t.f)} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
+  /** The 20 RPC00B monomials over normalized (p, l, h) Columns — must stay in
+    * lockstep with [[rpcTermsSql]] and Rpc.terms (same order, same
+    * associativity) for bit-identical oracle sums. */
+  private def rpcTermsCols(p: Column, l: Column, h: Column): Seq[Column] = Seq(
+    lit(1.0), l, p, h, l * p, l * h, p * h, l * l, p * p, h * h,
+    p * l * h, l * l * l, l * p * p, l * h * h, l * l * p, p * p * p,
+    p * h * h, l * l * h, p * p * h, h * h * h)
+
+  private def rpcTermsSql(p: String, l: String, h: String): Seq[String] = Seq(
+    "CAST(1.0 AS DOUBLE)", l, p, h, s"$l*$p", s"$l*$h", s"$p*$h", s"$l*$l", s"$p*$p", s"$h*$h",
+    s"$p*$l*$h", s"$l*$l*$l", s"$l*$p*$p", s"$l*$h*$h", s"$l*$l*$p", s"$p*$p*$p",
+    s"$p*$h*$h", s"$l*$l*$h", s"$p*$p*$h", s"$h*$h*$h")
+
+  /** RPC ground→image as Columns: continuous (line=row, samp=col) source
+    * pixel coordinates for a lon/lat ground point at fixed height. */
+  def rpcImageColumns(rpc: Rpc, lon: Column, lat: Column,
+                      height: Double): (Column, Column) = {
+    val p = (lat - lit(rpc.latOff)) / lit(rpc.latScale)
+    val l = (lon - lit(rpc.longOff)) / lit(rpc.longScale)
+    val h = lit((height - rpc.heightOff) / rpc.heightScale)
+    val t = rpcTermsCols(p, l, h)
+    def poly(c: Array[Double]): Column =
+      t.zip(c).map { case (ti, ci) => lit(ci) * ti }.reduceLeft(_ + _)
+    (poly(rpc.lineNum) / poly(rpc.lineDen) * lit(rpc.lineScale) + lit(rpc.lineOff),
+     poly(rpc.sampNum) / poly(rpc.sampDen) * lit(rpc.sampScale) + lit(rpc.sampOff))
+  }
+
+  /** reproject(dst_crs=EPSG:4326, rpcs=...): the destination grid must be
+    * geographic (RPC CRS is always 4326 — rioxarray.py:1098); each dst pixel
+    * centre is a (lon, lat) that the RPC model maps *directly* to a source
+    * image position — the model's native direction is exactly the inverse
+    * warp, so there is no per-pixel iteration. `dst` is sized by the caller
+    * (driver-side Rpc.imageToGround Newton on the corners — see
+    * Geoloc/Queries). */
+  def reprojectRpcNearest(srcR: Raster, rpc: Rpc, dst: GridRef,
+                          height: Double = 0.0): Raster = {
+    require(dst.crs.proj == LongLat, "RPC warp destination must be geographic (EPSG:4326)")
+    nearestWarpFromPx(srcR, dst, { (dRow, dCol) =>
+      val lon = lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c)
+      val lat = lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f)
+      val (srow, scol) = rpcImageColumns(rpc, lon, lat, height)
+      (scol, srow)
+    })
+  }
+
+  /** DuckDB mirror of [[reprojectRpcNearest]]: literal RPC coefficients, the
+    * same 20-term sums in the same order. */
+  def rpcNearestSql(dst: GridRef, rpc: Rpc, height: Double, srcSql: String): String = {
+    val t = dst.transform
+    // CAST keeps the fixed-height normalized term DOUBLE-typed: a bare
+    // decimal literal is DECIMAL in DuckDB, and a pure-literal monomial
+    // (h*h*h) evaluated in exact decimal would diverge from double math.
+    val hN = s"CAST(${(height - rpc.heightOff) / rpc.heightScale} AS DOUBLE)"
+    val terms = rpcTermsSql("p", "l", hN)
+    def poly(c: Array[Double]): String =
+      terms.zip(c).map { case (ti, ci) => s"$ci*$ti" }.mkString(" + ")
+    val rowE = s"(${poly(rpc.lineNum)}) / (${poly(rpc.lineDen)}) * ${rpc.lineScale} + ${rpc.lineOff}"
+    val colE = s"(${poly(rpc.sampNum)}) / (${poly(rpc.sampDen)}) * ${rpc.sampScale} + ${rpc.sampOff}"
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |ground AS (
+       |  SELECT row, col,
+       |    ((${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}) - ${rpc.latOff}) / ${rpc.latScale} AS p,
+       |    ((${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}) - ${rpc.longOff}) / ${rpc.longScale} AS l
+       |  FROM dstpx),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR(ROUND($colE, 9)) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(ROUND($rowE, 9)) AS BIGINT) AS src_row
+       |  FROM ground),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dlit(t.a)}*(CAST(k.col AS DOUBLE) + 0.5) + ${dlit(t.c)} AS x,
+       |  ${dlit(t.e)}*(CAST(k.row AS DOUBLE) + 0.5) + ${dlit(t.f)} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
 }
