@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.core.Synth
+import graft.ops.Raster
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** format("graft") DataSourceV2: registration by short name, content parity
+  * with TileIO.readPixels, window pushdown with real file pruning, and
+  * column pruning reaching the reader. */
+class GraftDataSourceSpec extends SparkTestBase {
+
+  private lazy val store: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toString + "/t1"
+    TileIO.writeTiles(Raster(Synth.pixels(spark, Synth.modisGrid), Synth.modisGrid),
+                      dir, tileSize = 50)
+    dir
+  }
+
+  private def scanInfo(df: org.apache.spark.sql.DataFrame): (String, Int) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b
+    }
+    assert(scans.size == 1, "expected exactly one graft scan")
+    (scans.head.scan.description(), scans.head.inputRDD.getNumPartitions)
+  }
+
+  test("short-name registration reads a tile store with full content parity") {
+    val viaDsv2 = spark.read.format("graft").load(store)
+    val viaTileIO = TileIO.readPixels(spark, store).df
+    // same names/types; the DSv2 scan is strictly non-null while the
+    // exploded-parquet path is conservatively nullable
+    assert(viaDsv2.schema.map(f => (f.name, f.dataType)) ==
+           viaTileIO.schema.map(f => (f.name, f.dataType)))
+    val a = viaDsv2.collect().map(_.toSeq).toSet
+    val b = viaTileIO.collect().map(_.toSeq).toSet
+    assert(a.size == 200 * 200 && a == b)
+  }
+
+  test("row/col predicates fold into the scan window and prune files") {
+    val full = spark.read.format("graft").load(store)
+    val (_, fullParts) = scanInfo(full)
+
+    val windowed = spark.read.format("graft").load(store)
+      .filter(col("row") >= 60 && col("row") < 90 && col("col") >= 110 && col("col") <= 139)
+    val (desc, prunedParts) = scanInfo(windowed)
+    assert(desc.contains("window=[rows 60..89, cols 110..139]"), desc)
+    assert(prunedParts < fullParts,
+      s"expected file pruning: $prunedParts vs $fullParts partitions")
+
+    // values must match the pixel-table semantics exactly
+    val expect = TileIO.readPixels(spark, store).df
+      .filter(col("row") >= 60 && col("row") < 90 && col("col") >= 110 && col("col") <= 139)
+      .collect().map(_.toSeq).toSet
+    val got = windowed.collect().map(_.toSeq).toSet
+    assert(got == expect && got.size == 30 * 30)
+  }
+
+  test("empty window plans zero partitions") {
+    val none = spark.read.format("graft").load(store).filter(col("row") > 1000000)
+    val (_, parts) = scanInfo(none)
+    assert(parts == 0 && none.count() == 0)
+  }
+
+  test("column pruning reaches the reader and residual filters still apply") {
+    val df = spark.read.format("graft").load(store)
+      .filter(col("row") === 7 && col("value") > 0)
+      .select("col", "value")
+    val (desc, _) = scanInfo(df)
+    assert(desc.contains("window=[rows 7..7,"), desc)
+    assert(desc.contains("columns=col,value") || desc.contains("columns=value,col"), desc)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getLong(0); val v = r.getLong(1)
+      assert(v > 0)
+      val exp = if ((7 * 53 + c * 97) % 101 == 0) -28672L
+                else (7 * 7919L + c * 104729L + 12345L) % 19997L - 9999L
+      assert(v == exp, s"col $c")
+    }
+  }
+}
