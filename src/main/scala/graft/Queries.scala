@@ -130,6 +130,14 @@ object Queries {
     WarpOps.resampleMode(Raster(Synth.pixels(spark, modis), modis), 4)
       .df.orderBy("row", "col")
 
+  def qResampleLanczos(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.upsampleLanczos(Raster(Synth.pixels(spark, modis), modis), 2)
+      .df.orderBy("row", "col")
+
+  def qResampleGauss(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.resampleGauss(Raster(Synth.pixels(spark, modis), modis))
+      .df.orderBy("row", "col")
+
   /** reproject_match (nearest) onto the fixture UTM grid — no SQL oracle
     * (transverse-Mercator series in SQL); exact-checked in WarpSpec. */
   def qReprojectMatch(spark: SparkSession, sfDir: String): DataFrame =
@@ -582,6 +590,8 @@ object Queries {
       WarpOps.resampleDownSql(modis, 4, method, s"SELECT row, col, value FROM ($px)")
     def resampleMode: String =
       WarpOps.resampleModeSql(modis, 4, s"SELECT row, col, value FROM ($px)")
+    def resampleLanczos: String = WarpOps.upsampleLanczosSql(modis, 2, pxSrcSql)
+    def resampleGauss: String = WarpOps.resampleGaussSql(modis, pxSrcSql)
 
     def clipGeomDrop: String = {
       val contains = VectorOps.containsSql(clipGeom, "px.x", "px.y")

@@ -49,6 +49,8 @@ object SparkEntry {
     "q_resample_q1" -> (Queries.qResampleDown("q1") _),
     "q_resample_q3" -> (Queries.qResampleDown("q3") _),
     "q_resample_mode" -> (Queries.qResampleMode _),
+    "q_resample_lanczos" -> (Queries.qResampleLanczos _),
+    "q_resample_gauss" -> (Queries.qResampleGauss _),
     "q_mask_scale" -> (Queries.qMaskScale _),
     "q_clip_box_crs" -> (Queries.qClipBoxCrs _),
     "q_clip_geom" -> (Queries.qClipGeom _),
@@ -134,6 +136,8 @@ object SparkEntry {
       "q_resample_q1" -> Oracles.resampleDown("q1"),
       "q_resample_q3" -> Oracles.resampleDown("q3"),
       "q_resample_mode" -> Oracles.resampleMode,
+      "q_resample_lanczos" -> Oracles.resampleLanczos,
+      "q_resample_gauss" -> Oracles.resampleGauss,
       "q_mask_scale" -> Oracles.maskScale,
       "q_clip_box_crs" -> Oracles.clipBox(
         GridRef.transformBounds(clipCrsWgsBounds, Crs.WGS84, Crs.MODIS_SINU)),

@@ -473,6 +473,207 @@ object WarpOps {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** Lanczos (a=3) integer-factor upsample — the sin-windowed-sinc member of
+    * the resampling enum (_spatial_utils.py:307-323 dispatch). The key
+    * insight that makes it oracle-gateable: at an integer factor the
+    * fractional source phase takes only `factor` distinct values, so the
+    * 6-tap kernel weights form a finite set computed once on the driver
+    * (java.lang.Math.sin) and embedded as *literals* in both engines — no
+    * libm-in-SQL ulp risk. Per dst pixel: 36-tap gather (same explode +
+    * single pivot aggregate shape as cubic); any tap missing or nodata →
+    * nodata (the engine's uniform partial-support rule, as in bilinear/
+    * cubic). Weights are pre-normalized per phase. */
+  def lanczosPhases(factor: Int, a: Int = 3): Seq[(Long, Seq[Double])] =
+    (0 until factor).map { p =>
+      val u = (p + 0.5) / factor - 0.5
+      val base = math.floor(u); val frac = u - base
+      def sinc(x: Double) = if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+      val raw = (-a + 1 to a).map { m =>
+        val d = m - frac
+        if (math.abs(d) < a) sinc(d) * sinc(d / a) else 0.0
+      }
+      val ws = raw.sum
+      (base.toLong, raw.map(_ / ws))
+    }
+
+  def upsampleLanczos(r: Raster, factor: Int): Raster = {
+    val g = r.grid
+    val a = 3
+    val dst = GridRef(g.crs,
+      g.transform.compose(Affine.scale(1.0 / factor, 1.0 / factor)),
+      g.width * factor, g.height * factor, g.nodata)
+    val spark = r.df.sparkSession
+    val phases = lanczosPhases(factor, a)
+    def phaseCase(phase: Column, f: Int => Column): Column =
+      phases.indices.tail.foldLeft(f(0)) { (acc, p) =>
+        when(phase === p, f(p)).otherwise(acc)
+      }
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val phR = col("row") % factor; val phC = col("col") % factor
+    val keyed = dstPx
+      .withColumn("r0", expr(s"row div $factor") + phaseCase(phR, p => lit(phases(p)._1)))
+      .withColumn("c0", expr(s"col div $factor") + phaseCase(phC, p => lit(phases(p)._1)))
+    val taps = (-a + 1 to a)
+    val offs = for (mi <- taps; mj <- taps) yield (mi, mj)
+    val exploded = keyed.select(col("*"),
+        explode(array(offs.map { case (mi, mj) =>
+          struct(lit(mi).as("dr"), lit(mj).as("dc")) }: _*)).as("n"))
+      .select(col("row"), col("col"),
+        (col("r0") + col("n.dr")).as("s_row"), (col("c0") + col("n.dc")).as("s_col"),
+        col("n.dr").as("dr"), col("n.dc").as("dc"))
+    val srcDf = r.df.select(col("row").as("j_row"), col("col").as("j_col"),
+                            col("value").as("s_value"))
+    val joined = exploded.join(srcDf,
+        exploded("s_row") === srcDf("j_row") && exploded("s_col") === srcDf("j_col"), "left")
+    val vCols = offs.map { case (mi, mj) =>
+      max(when(col("dr") === mi && col("dc") === mj, col("s_value"))).as(s"v${mi + a}${mj + a}")
+    }
+    val gathered = joined.groupBy("row", "col").agg(vCols.head, vCols.tail: _*)
+    val nod = dst.nodata
+    val anyBad = offs.map { case (mi, mj) =>
+      col(s"v${mi + a}${mj + a}").isNull || col(s"v${mi + a}${mj + a}") === nod.toLong
+    }.reduce(_ || _)
+    val phROut = col("row") % factor; val phCOut = col("col") % factor
+    val interp = taps.zipWithIndex.map { case (mi, i) =>
+      phaseCase(phROut, p => lit(phases(p)._2(i))) *
+        taps.zipWithIndex.map { case (mj, j) =>
+          phaseCase(phCOut, p => lit(phases(p)._2(j))) * col(s"v${mi + a}${mj + a}")
+        }.reduce(_ + _)
+    }.reduce(_ + _)
+    val out = gathered.select(col("row"), col("col"),
+      Synth.xColumn(dst, col("col")).as("x"),
+      Synth.yColumn(dst, col("row")).as("y"),
+      when(anyBad, lit(nod)).otherwise(interp).as("value"))
+    Raster(out, dst)
+  }
+
+  /** DuckDB mirror of [[upsampleLanczos]] — literal phase weights through
+    * [[dlit]] (string-cast doubles), identical CASE/summation order. */
+  def upsampleLanczosSql(src: GridRef, factor: Int, srcSql: String): String = {
+    val a = 3
+    val dstT = src.transform.compose(Affine.scale(1.0 / factor, 1.0 / factor))
+    val dstW = src.width.toLong * factor; val dstH = src.height.toLong * factor
+    val phases = lanczosPhases(factor, a)
+    def phaseCaseSql(phaseE: String, f: Int => String): String =
+      s"CASE $phaseE " +
+        phases.indices.map(p => s"WHEN $p THEN ${f(p)}").mkString(" ") + " END"
+    val taps = (-a + 1 to a)
+    val offs = for (mi <- taps; mj <- taps) yield (mi, mj)
+    val joins = offs.map { case (mi, mj) =>
+      val al = s"s${mi + a}${mj + a}"
+      s"LEFT JOIN src $al ON k.r0 + $mi = $al.row AND k.c0 + $mj = $al.col"
+    }.mkString("\n")
+    val nod = src.nodata.toLong
+    val bad = offs.map { case (mi, mj) =>
+      val al = s"s${mi + a}${mj + a}"
+      s"$al.value IS NULL OR $al.value = $nod"
+    }.mkString("\n         OR ")
+    val interp = taps.zipWithIndex.map { case (mi, i) =>
+      val rowTerm = taps.zipWithIndex.map { case (mj, j) =>
+        s"${phaseCaseSql("k.col % " + factor, p => dlit(phases(p)._2(j)))} * s${mi + a}${mj + a}.value"
+      }.mkString(" + ")
+      s"${phaseCaseSql("k.row % " + factor, p => dlit(phases(p)._2(i)))} * ($rowTerm)"
+    }.mkString("\n            + ")
+    val bOff = phaseCaseSql(s"row % $factor", p => phases(p)._1.toString)
+    val bOffC = phaseCaseSql(s"col % $factor", p => phases(p)._1.toString)
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // $dstW AS BIGINT) AS row,
+       |         CAST(i % $dstW AS BIGINT) AS col
+       |  FROM generate_series(0, ${dstW * dstH - 1}) t(i)),
+       |keyed AS (
+       |  SELECT row, col,
+       |    row // $factor + ($bOff) AS r0,
+       |    col // $factor + ($bOffC) AS c0
+       |  FROM dstpx),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dlit(dstT.a)}*(CAST(k.col AS DOUBLE) + 0.5) + ${dlit(dstT.c)} AS x,
+       |  ${dlit(dstT.e)}*(CAST(k.row AS DOUBLE) + 0.5) + ${dlit(dstT.f)} AS y,
+       |  CASE WHEN $bad
+       |       THEN CAST($nod AS DOUBLE)
+       |       ELSE $interp END AS value
+       |FROM keyed k
+       |$joins
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
+  /** Gauss factor-2 downsample: 3x3 window centred on the even source pixel
+    * with the classic binomial kernel [[1,2,1],[2,4,2],[1,2,1]], weights
+    * renormalized over valid (in-grid, non-nodata) taps. Built *source-side*:
+    * each src pixel explodes to its ≤4 (dst, weight) contributions and one
+    * hash aggregate sums them — map-side combinable, no join at all (the
+    * scale-optimal shape for any separable small-kernel downsample). Integer
+    * weights keep renormalization oracle-exact. GDAL's window phase for even
+    * factors is implementation-defined; the engine pins the centre to the
+    * even pixel and mirrors that rule in the oracle. */
+  def resampleGauss(r: Raster): Raster = {
+    val g = r.grid
+    val factor = 2
+    val outW = g.width / factor; val outH = g.height / factor
+    val dst = GridRef(g.crs,
+      g.transform.compose(Affine.scale(factor.toDouble, factor.toDouble)),
+      outW, outH, g.nodata)
+    val nod = g.nodata.toLong
+    val spark = r.df.sparkSession
+    val contrib = r.df
+      .filter(col("value") =!= nod)
+      .select(col("row"), col("col"), col("value"),
+        explode(array((-1 to 1).map(lit(_)): _*)).as("i"))
+      .filter((col("row") + col("i")) % 2 === 0)
+      .select(col("row"), col("col"), col("value"),
+        ((col("row") + col("i")) / 2).cast("long").as("dr"),
+        (lit(2) - abs(col("i"))).as("wr"))
+      .select(col("col"), col("value"), col("dr"), col("wr"),
+        explode(array((-1 to 1).map(lit(_)): _*)).as("j"))
+      .filter((col("col") + col("j")) % 2 === 0)
+      .select(col("value"), col("dr"), col("wr"),
+        ((col("col") + col("j")) / 2).cast("long").as("dc"),
+        (lit(2) - abs(col("j"))).as("wc"))
+      .filter(col("dr") >= 0 && col("dr") < outH && col("dc") >= 0 && col("dc") < outW)
+      .groupBy(col("dr").as("row"), col("dc").as("col"))
+      .agg((sum(col("wr") * col("wc") * col("value")).cast("double") /
+            sum(col("wr") * col("wc")).cast("double")).as("v"))
+    val blocks = spark.range(outW.toLong * outH)
+      .select(expr(s"id div $outW").as("row"), (col("id") % outW).as("col"))
+    val df = blocks.join(contrib, Seq("row", "col"), "left")
+      .select(col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        coalesce(col("v"), lit(g.nodata)).as("value"))
+    Raster(df, dst)
+  }
+
+  /** DuckDB mirror of [[resampleGauss]]. */
+  def resampleGaussSql(src: GridRef, srcSql: String): String = {
+    val factor = 2
+    val outW = src.width / factor; val outH = src.height / factor
+    val dstT = src.transform.compose(Affine.scale(factor.toDouble, factor.toDouble))
+    val nod = src.nodata.toLong
+    s"""WITH src AS ($srcSql),
+       |contrib AS (
+       |  SELECT (s.row + oi.i) // 2 AS row, (s.col + oj.j) // 2 AS col,
+       |         (2 - ABS(oi.i)) * (2 - ABS(oj.j)) AS w, s.value AS v
+       |  FROM src s, (VALUES (-1), (0), (1)) oi(i), (VALUES (-1), (0), (1)) oj(j)
+       |  WHERE s.value <> $nod
+       |    AND (s.row + oi.i) % 2 = 0 AND (s.col + oj.j) % 2 = 0
+       |    AND (s.row + oi.i) // 2 BETWEEN 0 AND ${outH - 1}
+       |    AND (s.col + oj.j) // 2 BETWEEN 0 AND ${outW - 1}),
+       |agg AS (
+       |  SELECT row, col,
+       |    CAST(CAST(SUM(w * v) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS v
+       |  FROM contrib GROUP BY 1, 2),
+       |blocks AS (
+       |  SELECT CAST(i // $outW AS BIGINT) AS row, CAST(i % $outW AS BIGINT) AS col
+       |  FROM generate_series(0, ${outW.toLong * outH - 1}) t(i))
+       |SELECT b.row, b.col,
+       |  ${dlit(dstT.a)}*(CAST(b.col AS DOUBLE) + 0.5) + ${dlit(dstT.c)} AS x,
+       |  ${dlit(dstT.e)}*(CAST(b.row AS DOUBLE) + 0.5) + ${dlit(dstT.f)} AS y,
+       |  COALESCE(a.v, CAST($nod AS DOUBLE)) AS value
+       |FROM blocks b LEFT JOIN agg a ON b.row = a.row AND b.col = a.col
+       |ORDER BY b.row, b.col""".stripMargin
+  }
+
   /** Integer-factor downsample kernels beyond average — the aggregate-shaped
     * half of the rasterio Resampling enum (_spatial_utils.py:307-323):
     * min / max / sum / rms / med / q1 / q3, all ONE hash aggregate with

@@ -233,6 +233,41 @@ class WarpOpsSpec extends SparkTestBase {
     }
   }
 
+  test("lanczos upsample matches pure-Scala kernel; gauss renormalizes at edges/nodata") {
+    // lanczos: interior dst pixel, compute expected from the same phase table
+    val phases = WarpOps.lanczosPhases(2)
+    val out = WarpOps.upsampleLanczos(src, 2).df
+      .filter("row IN (101, 40) AND col IN (77, 256)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    for ((dr, dc) <- Seq((101L, 77L), (40L, 256L), (101L, 256L), (40L, 77L))) {
+      val (bR, wR) = phases((dr % 2).toInt); val (bC, wC) = phases((dc % 2).toInt)
+      val r0 = dr / 2 + bR; val c0 = dc / 2 + bC
+      val vals = for (i <- 0 until 6) yield
+        (for (j <- 0 until 6) yield synth(r0 + i - 2, c0 + j - 2)).toSeq
+      val exp =
+        if (vals.flatten.exists(_ == -28672L)) -28672.0
+        else (0 until 6).map(i => wR(i) * (0 until 6).map(j => wC(j) * vals(i)(j)).reduce(_ + _)).reduce(_ + _)
+      assert(out((dr, dc)) == exp, s"dst ($dr,$dc)")
+    }
+    // gauss: interior block = full 16-sum over the binomial kernel; nodata
+    // taps drop out with weight renormalization, never poisoning the block
+    val g = WarpOps.resampleGauss(src).df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(g.size == 100 * 100)
+    for ((dr, dc) <- Seq((5L, 9L), (0L, 0L), (99L, 99L), (37L, 81L))) {
+      var num = 0L; var den = 0L
+      for (i <- -1 to 1; j <- -1 to 1) {
+        val r = 2 * dr + i; val c = 2 * dc + j
+        if (r >= 0 && r < 200 && c >= 0 && c < 200) {
+          val v = synth(r, c)
+          if (v != -28672L) { val w = (2 - math.abs(i)) * (2 - math.abs(j)); num += w * v; den += w }
+        }
+      }
+      val exp = if (den == 0) -28672.0 else num.toDouble / den.toDouble
+      assert(g((dr, dc)) == exp, s"gauss dst ($dr,$dc)")
+    }
+  }
+
   test("warp column math: TM forward columns agree with scalar Karney code") {
     import spark.implicits._
     val pts = Seq((-94.2, 44.9), (-93.0, 45.4), (-92.1, 45.9), (-95.5, 44.1))
