@@ -447,6 +447,14 @@ object Queries {
   def qAnnLsh(spark: SparkSession, sfDir: String): DataFrame =
     graft.ann.AnnOps.lshTopK(embeddings(spark, sfDir), k = 5).orderBy("q_id", "rank")
 
+  /** IVF ANN: deterministic coarse quantizer + probe-limited exact rerank
+    * (the third scale path next to brute force and LSH). */
+  def qAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = embeddings(spark, sfDir)
+    graft.ann.AnnOps.ivfTopK(e.filter(col("vec_id") % 25 === 0), e, k = 10)
+      .orderBy("q_id", "rank")
+  }
+
   def qEmbPairs(spark: SparkSession, sfDir: String): DataFrame =
     graft.ann.AnnOps.cosinePairs(embeddings(spark, sfDir), 0.4).orderBy("id_a", "id_b")
 
@@ -704,6 +712,7 @@ object Queries {
     def annTopk: String = graft.ann.AnnOps.bruteForceTopKSql(
       s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)
     def annLsh: String = graft.ann.AnnOps.lshTopKSql(embCastSql, 5)
+    def annIvf: String = graft.ann.AnnOps.ivfTopKSql(embCastSql, "vec_id % 25 = 0", 10)
     def embPairs: String = graft.ann.AnnOps.cosinePairsSql(embCastSql, 0.4)
     def embPairsBanded: String = graft.ann.AnnOps.cosinePairsBandedSql(embCastSql, 0.4)
     def docSpans: String = graft.docs.DocOps.flatSpansSql("documents")

@@ -71,6 +71,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
     "q_ann_topk" -> (Queries.qAnnTopk _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
+    "q_ann_ivf" -> (Queries.qAnnIvf _),
     "q_emb_pairs" -> (Queries.qEmbPairs _),
     "q_emb_pairs_banded" -> (Queries.qEmbPairsBanded _),
     "q_doc_spans" -> (Queries.qDocSpans _),
@@ -159,6 +160,7 @@ object SparkEntry {
       "q_dedup_simhash" -> Oracles.dedupSimhash,
       "q_ann_topk" -> Oracles.annTopk,
       "q_ann_lsh" -> Oracles.annLsh,
+      "q_ann_ivf" -> Oracles.annIvf,
       "q_emb_pairs" -> Oracles.embPairs,
       "q_emb_pairs_banded" -> Oracles.embPairsBanded,
       "q_doc_spans" -> Oracles.docSpans,

@@ -141,6 +141,81 @@ object AnnOps {
        |ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions vectors into
+    * nCentroids clusters; a query probes only its nProbe nearest clusters
+    * and reranks exactly inside them. The quantizer here is deterministic
+    * (the nCentroids lowest-vec_id vectors) so the DuckDB oracle can state
+    * the same clusters — production would train k-means, changing only the
+    * centroid values, never the plan shape.
+    *
+    * Scale shape (the point of IVF vs brute force): assignment is map-only
+    * (centroid matrix is a broadcast-sized literal; per-row argmax over an
+    * array_sort of nCentroids struct entries — no shuffle, no window), and
+    * candidate generation is a plain equi-join on cluster id, sized
+    * ~nProbe/nCentroids of the corpus per query instead of all of it.
+    * Cluster id doubles as the natural partition/bucketing key at rest. */
+  def ivfAssign(vectors: DataFrame, centroids: Seq[(Long, Array[Double])],
+                nProbe: Int): DataFrame = {
+    // -cos sorts ascending == cosine descending; centroid id breaks ties
+    val entries = centroids.map { case (cid, ce) =>
+      var s = 0.0; var i = 0
+      while (i < ce.length) { s += ce(i) * ce(i); i += 1 }
+      val cn = math.sqrt(s)
+      struct(
+        (-(dot(col("embedding"), typedLit(ce)) /
+           (sqrt(norm2(col("embedding"))) * lit(cn)))).as("neg"),
+        lit(cid).as("cid"))
+    }
+    vectors
+      .withColumn("p", explode(slice(array_sort(array(entries: _*)), 1, nProbe)))
+      .select(col("vec_id"), col("embedding"), col("p.cid").as("cluster"))
+  }
+
+  def ivfTopK(queries: DataFrame, targets: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 3): DataFrame = {
+    val centroids = targets.orderBy("vec_id").limit(nCentroids)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val t = ivfAssign(targets, centroids, nProbe = 1)
+      .select(col("vec_id").as("t_id"), col("embedding").as("te"), col("cluster"))
+      .withColumn("tn", sqrt(norm2(col("te"))))
+    val q = ivfAssign(queries, centroids, nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cluster"))
+      .withColumn("qn", sqrt(norm2(col("qe"))))
+    val cand = q.join(t, Seq("cluster"))
+      .filter(col("q_id") =!= col("t_id"))
+      .select(col("q_id"), col("t_id"),
+        (dot(col("qe"), col("te")) / (col("qn") * col("tn"))).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "cos", "rank")
+  }
+
+  /** DuckDB mirror of [[ivfTopK]]: same quantizer, same assignment rule
+    * (max cosine, centroid id tie-break), same rerank. */
+  def ivfTopKSql(vSql: String, queryPred: String, k: Int,
+                 nCentroids: Int = 16, nProbe: Int = 3): String = {
+    val assignCos = cosineSql("v.embedding", "c.cemb")
+    s"""WITH v AS ($vSql),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM v ORDER BY vec_id LIMIT $nCentroids),
+       |ta AS (SELECT v.vec_id, v.embedding, c.cid,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |                            ORDER BY $assignCos DESC, c.cid) AS rn
+       |       FROM v, cent c),
+       |tassign AS (SELECT vec_id, embedding, cid FROM ta WHERE rn = 1),
+       |qassign AS (SELECT vec_id, embedding, cid FROM ta WHERE rn <= $nProbe AND ($queryPred)),
+       |cand AS (SELECT q.vec_id AS q_id, t.vec_id AS t_id,
+       |           ${cosineSql("q.embedding", "t.embedding")} AS cos
+       |         FROM qassign q JOIN tassign t ON q.cid = t.cid AND q.vec_id <> t.vec_id),
+       |r AS (SELECT q_id, t_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, t_id) AS rank
+       |      FROM cand)
+       |SELECT q_id, t_id, cos, rank FROM r WHERE rank <= $k
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold. */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("id_a"), col("embedding").as("ea"))

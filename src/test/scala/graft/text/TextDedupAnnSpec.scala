@@ -77,6 +77,30 @@ class TextDedupAnnSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF ANN: candidates honor cluster assignment, ranks exact within probes, decent recall") {
+    val e = Queries.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 25 === 0)
+    val ivf = AnnOps.ivfTopK(queries, e, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(ivf.nonEmpty)
+    // ranks are dense and ordered by descending cosine per query
+    ivf.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"query $q not cosine-ordered")
+    }
+    // recall vs brute force: probing 3/16 clusters must still find most
+    // true neighbours on this corpus (clusters are cosine-coherent)
+    val bf = AnnOps.bruteForceTopK(queries, e, 10)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ivf.map(r => (r._1, r._2)).toSet
+    val recall = got.count(bf.contains).toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall $recall")
+  }
+
   test("lang-id is deterministic and covers all docs") {
     val out = Queries.qLangId(spark, sfDir).collect()
     assert(out.length == docs.count())
