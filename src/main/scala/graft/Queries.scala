@@ -438,6 +438,9 @@ object Queries {
     graft.dedup.DedupOps.simhashPairs(dedupCorpus(spark, sfDir), maxDist = 3)
       .orderBy("doc_a", "doc_b")
 
+  def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.TextOps.tokenCounts(documents(spark, sfDir)).orderBy("doc_id")
+
   def qAnnTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val e = embeddings(spark, sfDir)
     graft.ann.AnnOps.bruteForceTopK(e.filter(col("vec_id") % 25 === 0), e, 10)
@@ -703,6 +706,7 @@ object Queries {
 
     def textQuality: String = graft.text.TextOps.qualityMetricsSql("documents")
     def langId: String = graft.text.TextOps.langIdSql("documents")
+    def tokenCount: String = graft.text.TextOps.tokenCountsSql("documents")
     def fingerprint: String =
       s"SELECT doc_id, ${graft.text.TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"
     def dedupExact: String = graft.dedup.DedupOps.exactGroupsSql(dedupCorpusSql)

@@ -64,6 +64,7 @@ object SparkEntry {
     "q_knn" -> (Queries.qKnn _),
     "q_text_quality" -> (Queries.qTextQuality _),
     "q_lang_id" -> (Queries.qLangId _),
+    "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_dedup_exact" -> (Queries.qDedupExact _),
     "q_dedup_jaccard" -> (Queries.qDedupJaccard _),
@@ -153,6 +154,7 @@ object SparkEntry {
       "q_knn" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,
       "q_lang_id" -> Oracles.langId,
+      "q_token_count" -> Oracles.tokenCount,
       "q_fingerprint" -> Oracles.fingerprint,
       "q_dedup_exact" -> Oracles.dedupExact,
       "q_dedup_jaccard" -> Oracles.dedupJaccard,

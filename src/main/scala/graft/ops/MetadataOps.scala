@@ -77,6 +77,35 @@ object MetadataOps {
   def setSpatialDims(r: Raster, xDim: String, yDim: String): Raster =
     Raster(r.df.withColumnRenamed("col", xDim).withColumnRenamed("row", yDim), r.grid)
 
+  /** update_attrs / assign_attrs analog (the reference's xarray attrs dict
+    * rides on the DataArray; here it rides on the grid sidecar — same
+    * broadcast-sized metadata, no data motion). */
+  def updateAttrs(r: Raster, kv: Map[String, String]): Raster =
+    r.copy(grid = r.grid.copy(attrs = r.grid.attrs ++ kv))
+
+  def dropAttrs(r: Raster, keys: Seq[String]): Raster =
+    r.copy(grid = r.grid.copy(attrs = r.grid.attrs -- keys))
+
+  /** Write-encoding metadata (the reference's encoding dict: scale_factor /
+    * add_offset / _FillValue survive a write and drive the decode chain on
+    * re-open — _io.py:440-451, raster_array.py:152-196). Stored under an
+    * "encoding:" namespace so data attrs and encoding never collide. */
+  def writeEncoding(r: Raster, scale: Double, offset: Double,
+                    fillValue: Option[Double] = None): Raster =
+    updateAttrs(r, Map(
+      "encoding:scale_factor" -> scale.toString,
+      "encoding:add_offset" -> offset.toString) ++
+      fillValue.map(v => "encoding:_FillValue" -> v.toString))
+
+  /** Apply the stored encoding (mask_and_scale on re-open). */
+  def decodeWithEncoding(r: Raster): Raster = {
+    val scale = r.grid.attrs.get("encoding:scale_factor").map(_.toDouble).getOrElse(1.0)
+    val offset = r.grid.attrs.get("encoding:add_offset").map(_.toDouble).getOrElse(0.0)
+    val fill = r.grid.attrs.get("encoding:_FillValue").map(_.toDouble)
+    val base = fill.map(writeNodata(r, _)).getOrElse(r)
+    maskAndScale(base, scale, offset)
+  }
+
   /** write_gcps: serialize GroundControlPoints as a GeoJSON FeatureCollection
     * into the grid sidecar — the same storage shape the reference uses on the
     * grid-mapping coordinate (rioxarray.py:982-1030, GeoJSON layout

@@ -50,6 +50,28 @@ object TextOps {
        |FROM $table ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE-ish subword segmentation regex: letter runs, digit runs, and single
+    * non-alnum marks — the GPT-2-style pre-tokenizer class structure without
+    * a merges table. Whitespace is spelled as an explicit class (Java \\s
+    * and RE2 \\s disagree on \\x0B) so Spark (java.util.regex) and DuckDB
+    * (RE2) match identically. */
+  val BpeTokenRegex: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+  /** Token counting per document: whitespace tokens + BPE-ish regex tokens
+    * (the two standard size proxies for pretraining-data accounting). */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col("doc_id"),
+      size(tokens(t)).as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit(BpeTokenRegex), lit(0))).as("n_bpe_tokens"))
+  }
+
+  def tokenCountsSql(table: String): String =
+    s"""SELECT doc_id,
+       |  len(${tokensSql("text")}) AS n_ws_tokens,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens
+       |FROM $table ORDER BY doc_id""".stripMargin
+
   /** Language-ID by stopword-profile hits (n-gram-heuristic family).
     * Deterministic argmax with fixed tie-break order. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

@@ -34,6 +34,26 @@ class MetaBandStreamSpec extends SparkTestBase {
     assert(renamed.df.columns.contains("lon_idx") && renamed.df.columns.contains("lat_idx"))
   }
 
+  test("attrs/encoding: update/drop roundtrip; stored encoding drives the decode chain") {
+    val r0 = Raster(graft.core.Synth.pixels(spark, graft.core.Synth.modisGrid),
+                    graft.core.Synth.modisGrid)
+    val r1 = MetadataOps.updateAttrs(r0, Map("title" -> "t", "units" -> "K"))
+    assert(r1.grid.attrs("title") == "t" && r1.grid.attrs("units") == "K")
+    val r2 = MetadataOps.dropAttrs(r1, Seq("title"))
+    assert(!r2.grid.attrs.contains("title") && r2.grid.attrs.contains("units"))
+
+    val enc = MetadataOps.writeEncoding(r2, scale = 0.25, offset = 10.0)
+    val dec = MetadataOps.decodeWithEncoding(enc)
+    val direct = MetadataOps.maskAndScale(r0, 0.25, 10.0)
+    val a = dec.df.orderBy("row", "col").limit(500).collect().map(_.toSeq)
+    val b = direct.df.orderBy("row", "col").limit(500).collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // encoded fill value overrides the grid nodata before masking
+    val encFill = MetadataOps.writeEncoding(r2, 1.0, 0.0, fillValue = Some(-9999.0))
+    val decFill = MetadataOps.decodeWithEncoding(encFill)
+    assert(decFill.grid.nodata.isNaN) // maskAndScale output marks missing as NULL/NaN
+  }
+
   test("band_as_variable pivots 3 bands into columns") {
     val px3 = BandOps.pixels3d(spark, modis.copy(width = 40, height = 40), 3)
     assert(px3.count() == 3L * 1600)
