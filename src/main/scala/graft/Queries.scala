@@ -7,7 +7,15 @@ import org.apache.spark.sql.functions._
 
 /** Query catalog: every operator exposed through SparkEntry.queries gets a
   * Spark implementation here and (where ANSI-SQL-expressible) a DuckDB
-  * oracle in [[Oracles]]. Column names/types are aligned pairwise. */
+  * oracle in [[Oracles]]. Column names/types are aligned pairwise.
+  *
+  * NOTE on the trailing `.orderBy(...)` in every query: it belongs to the
+  * ORACLE DIFF PROTOCOL, not to the operators. The ops in `graft.ops/*`
+  * return unsorted DataFrames (no total sort is ever inside an operator);
+  * the catalog wrapper adds the deterministic order the driver's row-hash
+  * comparison requires. Production callers compose the ops directly and
+  * never inherit this sort — at 100 TB a global sort per query would be a
+  * real cost (one extra range-partition exchange). */
 object Queries {
 
   val modis: GridRef = Synth.modisGrid
