@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * oracle in [[Oracles]]. Column names/types are aligned pairwise.
   *
   * NOTE on the trailing `.orderBy(...)` in every query: it belongs to the
-  * ORACLE DIFF PROTOCOL, not to the operators. The ops in `graft.ops/*`
-  * return unsorted DataFrames (no total sort is ever inside an operator);
+  * ORACLE DIFF PROTOCOL, not to the operators. The ops in the graft.ops
+  * package return unsorted DataFrames (no total sort inside an operator);
   * the catalog wrapper adds the deterministic order the driver's row-hash
   * comparison requires. Production callers compose the ops directly and
   * never inherit this sort — at 100 TB a global sort per query would be a
@@ -125,6 +125,31 @@ object Queries {
   def qReprojectNearest(spark: SparkSession, sfDir: String): DataFrame =
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
+
+  /** reproject(resolution=) / reproject(shape=) kwargs paths
+    * (raster_array.py:202-236; destination sizing _make_dst_affine). */
+  lazy val reprojResDst: GridRef =
+    GridRef.suggestedWarpOutput(modis, Crs.WGS84, resolution = Some((0.004, 0.004)))
+  lazy val reprojShapeDst: GridRef =
+    GridRef.suggestedWarpOutput(modis, Crs.WGS84, shape = Some((90, 110)))
+
+  def qReprojectRes(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reproject(Raster(Synth.pixels(spark, modis), modis), Crs.WGS84,
+      resolution = Some((0.004, 0.004))).df.orderBy("row", "col")
+
+  def qReprojectShape(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reproject(Raster(Synth.pixels(spark, modis), modis), Crs.WGS84,
+      shape = Some((90, 110))).df.orderBy("row", "col")
+
+  /** merge(bounds=, res=) kwargs (rioxarray/merge.py merge_arrays bounds/res
+    * passthrough): explicit destination extent + resolution override. */
+  lazy val mergeResBounds: Bounds = Bounds(-7273000.0, 5020000.0, -7240000.0, 5049000.0)
+  lazy val mergeResRes: (Double, Double) =
+    (modis.transform.a * 2.0, math.abs(modis.transform.e) * 2.0)
+  def qMergeRes(spark: SparkSession, sfDir: String): DataFrame =
+    MergeOps.merge(mergeSources(spark), "first",
+      res = Some(mergeResRes),
+      boundsOverride = Some(mergeResBounds)).df.orderBy("row", "col")
 
   def qResampleAverage(spark: SparkSession, sfDir: String): DataFrame =
     WarpOps.resampleAverage(Raster(Synth.pixels(spark, modis), modis), 4)
@@ -572,6 +597,22 @@ object Queries {
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(rotatedGrid)})")
     def reprojectSqToRot: String = WarpOps.nearestAffineSql(squaredGrid, rotatedGrid,
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(squaredGrid)})")
+
+    def reprojectRes: String =
+      WarpOps.nearestSinuFromLonLatSql(modis, reprojResDst, pxSrcSql)
+    def reprojectShape: String =
+      WarpOps.nearestSinuFromLonLatSql(modis, reprojShapeDst, pxSrcSql)
+
+    def mergeRes: String = {
+      val dst = MergeOps.unionGrid(Seq(modis, modisB), Some(mergeResRes),
+                                   Some(mergeResBounds))
+      val srcs = Seq(modis -> pxSrcSql,
+                     modisB -> s"SELECT row, col, value FROM (${Synth.pixelsSql(modisB, seedB)})")
+        .map { case (g, sql) =>
+          WarpOps.inverseSampleNearestSql(g, dst, dst.windowFromBounds(g.bounds), sql)
+        }
+      MergeOps.mergeSql(dst, srcs, "first")
+    }
 
     def reprojectGcps: String = {
       val h = Geoloc.fitAuto(gcpFixture)

@@ -37,6 +37,9 @@ object SparkEntry {
     "q_reproject_rot2sq" -> (Queries.qReprojectRotToSq _),
     "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
+    "q_reproject_res" -> (Queries.qReprojectRes _),
+    "q_reproject_shape" -> (Queries.qReprojectShape _),
+    "q_merge_res" -> (Queries.qMergeRes _),
     "q_reproject_gcps" -> (Queries.qReprojectGcps _),
     "q_reproject_gcps_affine" -> (Queries.qReprojectGcpsAffine _),
     "q_reproject_rpcs" -> (Queries.qReprojectRpcs _),
@@ -126,6 +129,9 @@ object SparkEntry {
       "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
+      "q_reproject_res" -> Oracles.reprojectRes,
+      "q_reproject_shape" -> Oracles.reprojectShape,
+      "q_merge_res" -> Oracles.mergeRes,
       "q_reproject_gcps" -> Oracles.reprojectGcps,
       "q_reproject_gcps_affine" -> Oracles.reprojectGcpsAffine,
       "q_reproject_rpcs" -> Oracles.reprojectRpcs,

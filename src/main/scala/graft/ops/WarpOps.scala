@@ -169,6 +169,55 @@ object WarpOps {
       .select(col("row"), col("col"), col("s_value").as("value"))
   }
 
+  /** DuckDB mirror of [[inverseSampleNearest]] for same-CRS rectilinear
+    * grids (merge's non-aligned-source resample read): generates the dst
+    * sub-window, keys each pixel by the rounded inverse mapping, inner-joins
+    * the source. Output: dst-indexed (row, col, value), inner rows only. */
+  def inverseSampleNearestSql(src: GridRef, dst: GridRef, win: PixelWindow,
+                              srcSql: String): String = {
+    require(src.crs == dst.crs && src.transform.isRectilinear && dst.transform.isRectilinear,
+      "inverseSampleNearestSql mirrors the same-CRS rectilinear path")
+    val t = dst.transform; val s = src.transform
+    val dxE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
+    val dyE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
+    val pxE = s"ROUND((($dxE) - ${s.c}) / ${s.a}, 9)"
+    val pyE = s"ROUND((($dyE) - ${s.f}) / ${s.e}, 9)"
+    s"""SELECT k.row, k.col, sv.value FROM (
+       |  SELECT row, col,
+       |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
+       |    CAST(FLOOR($pyE) AS BIGINT) AS src_row
+       |  FROM (SELECT CAST(${win.rowStart} + i // ${win.width} AS BIGINT) AS row,
+       |               CAST(${win.colStart} + i % ${win.width} AS BIGINT) AS col
+       |        FROM generate_series(0, ${win.width.toLong * win.height - 1}) g(i)) w) k
+       |JOIN ($srcSql) sv ON k.src_row = sv.row AND k.src_col = sv.col""".stripMargin
+  }
+
+  /** Full reproject entrypoint mirroring the reference's kwargs surface
+    * (raster_array.py:198-309): destination from `transform`(+`shape`) or
+    * from calculate_default_transform with optional `resolution` XOR
+    * `shape`; the resolution-with-shape/transform combination is an error
+    * exactly as in the reference (raster_array.py:260-261). */
+  def reproject(srcR: Raster, dstCrs: Crs,
+                resolution: Option[(Double, Double)] = None,
+                shape: Option[(Int, Int)] = None,
+                transform: Option[Affine] = None,
+                resampling: String = "nearest"): Raster = {
+    require(!(resolution.isDefined && (shape.isDefined || transform.isDefined)),
+      "resolution cannot be used with shape or transform.") // raster_array.py:260-261
+    val dst = transform match {
+      case Some(t) =>
+        val (h, w) = shape.getOrElse((srcR.grid.height, srcR.grid.width))
+        GridRef(dstCrs, t, w, h, srcR.grid.nodata)
+      case None => GridRef.suggestedWarpOutput(srcR.grid, dstCrs, resolution, shape)
+    }
+    resampling match {
+      case "nearest" => reprojectNearest(srcR, dst)
+      case "bilinear" => reprojectBilinear(srcR, dst)
+      case "cubic" => reprojectCubic(srcR, dst)
+      case m => throw new IllegalArgumentException(s"unsupported resampling: $m")
+    }
+  }
+
   /** Nearest-neighbour inverse warp onto an explicit destination grid
     * (reproject / reproject_match with resampling="nearest"). */
   def reprojectNearest(srcR: Raster, dst: GridRef): Raster = {

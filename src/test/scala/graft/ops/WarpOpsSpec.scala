@@ -268,6 +268,23 @@ class WarpOpsSpec extends SparkTestBase {
     }
   }
 
+  test("reproject kwargs: resolution XOR shape/transform guard, sizing honored") {
+    val r = src
+    intercept[IllegalArgumentException] { // raster_array.py:260-261 semantics
+      WarpOps.reproject(r, graft.core.Crs.WGS84,
+        resolution = Some((0.01, 0.01)), shape = Some((10, 10)))
+    }
+    val byRes = WarpOps.reproject(r, graft.core.Crs.WGS84, resolution = Some((0.004, 0.004)))
+    assert(byRes.grid.transform.a == 0.004 && byRes.grid.transform.e == -0.004)
+    val byShape = WarpOps.reproject(r, graft.core.Crs.WGS84, shape = Some((90, 110)))
+    assert(byShape.grid.height == 90 && byShape.grid.width == 110)
+    assert(byShape.df.count() == 90L * 110)
+    val t = graft.core.Affine.northUp(-94.0, 45.3, 0.005, 0.005)
+    val byT = WarpOps.reproject(r, graft.core.Crs.WGS84,
+                                transform = Some(t), shape = Some((40, 50)))
+    assert(byT.grid.transform == t && byT.grid.height == 40 && byT.grid.width == 50)
+  }
+
   test("warp column math: TM forward columns agree with scalar Karney code") {
     import spark.implicits._
     val pts = Seq((-94.2, 44.9), (-93.0, 45.4), (-92.1, 45.9), (-95.5, 44.1))
