@@ -38,6 +38,43 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Streaming tile assembly: incremental pixel arrivals pack into complete
+    * tiles — the streaming write path of the TileIO layout (a tile emits
+    * exactly once, the moment its last pixel lands; partial tiles live in
+    * keyed state, sharded by tile key and checkpointed with the query).
+    * Input: (row: long, col: long, value: double-castable) streaming frame;
+    * output: (tile_row, tile_col, data) with the same positional
+    * array_sort(local_idx) layout TileIO.writeTiles produces. Duplicate
+    * deliveries after emission are dropped (emitted flag stays in state). */
+  def streamingTileAssembly(px: DataFrame, tileSize: Int):
+      Dataset[(Long, Long, Seq[Double])] = {
+    val spark = px.sparkSession
+    import spark.implicits._
+    val full = tileSize * tileSize
+    px.select(
+        expr(s"row div $tileSize").as("tr"),
+        expr(s"col div $tileSize").as("tc"),
+        ((col("row") % tileSize) * tileSize + col("col") % tileSize).cast("int").as("li"),
+        col("value").cast("double").as("v"))
+      .as[(Long, Long, Int, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: (Long, Long), rows: Iterator[(Long, Long, Int, Double)],
+         state: GroupState[(Boolean, Map[Int, Double])]) => {
+          val (emitted, have) = state.getOption.getOrElse((false, Map.empty[Int, Double]))
+          if (emitted) Iterator.empty
+          else {
+            val cur = have ++ rows.map(r => r._3 -> r._4)
+            if (cur.size == full) {
+              state.update((true, Map.empty))
+              Iterator.single((key._1, key._2,
+                Seq.tabulate(full)(i => cur(i))))
+            } else { state.update((false, cur)); Iterator.empty }
+          }
+        })
+      .toDF("tile_row", "tile_col", "data").as[(Long, Long, Seq[Double])]
+  }
+
   /** Streaming exact dedup — keyed arbitrary state via
     * flatMapGroupsWithState: the FIRST document carrying a fingerprint
     * passes (min doc_id inside a micro-batch for determinism), every later

@@ -92,6 +92,44 @@ class MetaBandStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming tile assembly: tiles emit exactly once, on completion, packed like TileIO") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def synth(rr: Long, cc: Long): Long =
+      if ((rr * 53 + cc * 97) % 101 == 0) -28672L
+      else (rr * 7919L + cc * 104729L + 12345L) % 19997L - 9999L
+    val ts = 10
+    // 20x20 grid = 4 tiles of 10x10, delivered shuffled across 3 batches
+    val all = new scala.util.Random(42)
+      .shuffle((for (r <- 0L until 20; c <- 0L until 20) yield (r, c, synth(r, c))).toVector)
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = StreamingOps.streamingTileAssembly(
+      input.toDF().toDF("row", "col", "value"), ts)
+    val q = out.writeStream.format("memory").queryName("tileasm")
+      .outputMode("append").start()
+    try {
+      input.addData(all.slice(0, 150): _*); q.processAllAvailable()
+      val n1 = spark.sql("select * from tileasm").count()
+      input.addData(all.slice(150, 399): _*); q.processAllAvailable()
+      val n2 = spark.sql("select * from tileasm").count()
+      assert(n2 < 4, "no tile may emit before its last pixel arrives")
+      input.addData(all.slice(399, 400): _*); q.processAllAvailable()
+      // duplicate re-delivery of a full tile must not re-emit
+      input.addData(all.slice(0, 50): _*); q.processAllAvailable()
+      val rows = spark.sql("select tile_row, tile_col, data from tileasm").collect()
+      assert(rows.length == 4, s"expected 4 tiles once each, got ${rows.length} (n1=$n1)")
+      rows.foreach { r =>
+        val (tr, tc) = (r.getLong(0), r.getLong(1))
+        val data = r.getSeq[Double](2)
+        assert(data.length == ts * ts)
+        for (i <- 0 until ts * ts) {
+          val (pr, pc) = (tr * ts + i / ts, tc * ts + i % ts)
+          assert(data(i) == synth(pr, pc).toDouble, s"tile ($tr,$tc) idx $i")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("streaming ingest: watermarked windowed cell counts over doc spans") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
