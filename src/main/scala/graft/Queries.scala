@@ -126,6 +126,16 @@ object Queries {
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  /** The tile-native warp kernel under the SAME oracle as the pixel path:
+    * packed-tile gather -> per-dst-tile render -> unpack. Bit-identical
+    * output is the kernel's contract (TileWarpSpec); this entry makes the
+    * architectural flagship itself DuckDB-gated, not just spec-gated. */
+  def qReprojectTiled(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TileWarp.toPixels(
+      graft.ops.TileWarp.reprojectNearestTiles(
+        Raster(Synth.pixels(spark, modis), modis), reprojDst, ts = 50),
+      reprojDst, ts = 50).orderBy("row", "col")
+
   /** reproject(resolution=) / reproject(shape=) kwargs paths
     * (raster_array.py:202-236; destination sizing _make_dst_affine). */
   lazy val reprojResDst: GridRef =

@@ -37,6 +37,7 @@ object SparkEntry {
     "q_reproject_rot2sq" -> (Queries.qReprojectRotToSq _),
     "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
+    "q_reproject_tiled" -> (Queries.qReprojectTiled _),
     "q_reproject_res" -> (Queries.qReprojectRes _),
     "q_reproject_shape" -> (Queries.qReprojectShape _),
     "q_merge_res" -> (Queries.qMergeRes _),
@@ -129,6 +130,8 @@ object SparkEntry {
       "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
+      // tile-native kernel answers to the SAME oracle as the pixel path
+      "q_reproject_tiled" -> Oracles.reprojectNearest,
       "q_reproject_res" -> Oracles.reprojectRes,
       "q_reproject_shape" -> Oracles.reprojectShape,
       "q_merge_res" -> Oracles.mergeRes,
