@@ -161,4 +161,66 @@ object MediaOps {
   def resizeFrames(features: DataFrame, k: Int): DataFrame =
     features.withColumn("frames_k", slice(concat(col("frame_samples"),
       array_repeat(lit(0L), k)), 1, k))
+
+  /** Real pixel-level resize: nearest-neighbour source index per dst pixel
+    * (floor(d * src / dst), the classic integer NN rule), re-encoded as
+    * BMP. Pure function of the payload — no driver involvement. */
+  def resizeBmp(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val (w, h, px) = decodeBmp(bytes)
+    encodeBmp(outW, outH, (x, y) =>
+      px((y.toLong * h / outH).toInt * w + (x.toLong * w / outW).toInt))
+  }
+
+  /** mapPartitions batch resize of every image payload to a fixed thumbnail
+    * size (audio rows pass through untouched) — the canonical multimodal
+    * normalize step of a training-data pipeline: same schema in and out, so
+    * it composes anywhere in the media pipeline. */
+  def resizeImages(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val schema = media.select("media_id", "payload").schema
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val out =
+          if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+            resizeBmp(bytes, outW, outH)
+          else bytes
+        Row(r.getLong(0), out)
+      }
+    }(enc)
+  }
+
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("zero_crossings", IntegerType, nullable = false)))
+
+  /** Audio frame sampling: fixed-length windows with hop, per-frame RMS +
+    * zero-crossing count (the standard cheap audio quality/VAD features).
+    * One row per (clip, frame); non-audio payloads contribute nothing. */
+  def audioFrames(media: DataFrame, frameLen: Int = 64, hop: Int = 32): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes.length >= 4 && new String(bytes, 0, 4) == "RIFF") {
+          val s = decodeWav(bytes)
+          val id = r.getLong(0)
+          val nFrames = if (s.length < frameLen) 0 else (s.length - frameLen) / hop + 1
+          (0 until nFrames).iterator.map { f =>
+            val off = f * hop
+            var sum2 = 0.0; var zc = 0; var i = 0
+            while (i < frameLen) {
+              val v = s(off + i).toDouble
+              sum2 += v * v
+              if (i > 0 && (s(off + i) < 0) != (s(off + i - 1) < 0)) zc += 1
+              i += 1
+            }
+            Row(id, f, math.sqrt(sum2 / frameLen), zc)
+          }
+        } else Iterator.empty
+      }
+    }(enc)
+  }
 }

@@ -95,6 +95,41 @@ class DocOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("media pipeline: pixel-level NN resize and audio frame features") {
+    import graft.media.MediaOps
+    // pure resize: every dst pixel equals the floor-indexed src pixel
+    val src = MediaOps.encodeBmp(16, 12, (x, y) => x * 65536 + y * 256 + 3)
+    val small = MediaOps.resizeBmp(src, 8, 6)
+    val (w, h, px) = MediaOps.decodeBmp(small)
+    assert(w == 8 && h == 6)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val sx = x * 16 / 8; val sy = y * 12 / 6
+      assert(px(y * 8 + x) == sx * 65536 + sy * 256 + 3, s"dst ($x,$y)")
+    }
+    // distributed resize: images land at thumbnail dims, audio passes through
+    val resized = MediaOps.resizeImages(MediaOps.synthesize(spark, 20), 8, 8)
+    val feats = MediaOps.decodeFeatures(resized).orderBy("media_id").collect()
+    feats.foreach { r =>
+      if (r.getLong(0) % 2 == 0) assert(r.getInt(3) == 8 && r.getInt(4) == 8)
+      else assert(r.getString(1) == "audio")
+    }
+    // audio frames: scalar recompute of RMS + zero crossings for one clip
+    val frames = MediaOps.audioFrames(MediaOps.synthesize(spark, 20), 64, 32)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(frames.nonEmpty && frames.forall(_.getLong(0) % 2 == 1))
+    val id = 3L
+    val s = Array.tabulate(256 + (id % 128).toInt)(i => ((id * 131 + i * 17) % 8192 - 4096).toShort)
+    val mine = frames.filter(_.getLong(0) == id)
+    assert(mine.length == (s.length - 64) / 32 + 1)
+    val f0 = mine(1) // frame 1, offset 32
+    var sum2 = 0.0; var zc = 0
+    for (i <- 0 until 64) {
+      val v = s(32 + i).toDouble; sum2 += v * v
+      if (i > 0 && (s(32 + i) < 0) != (s(32 + i - 1) < 0)) zc += 1
+    }
+    assert(f0.getDouble(2) == math.sqrt(sum2 / 64) && f0.getInt(3) == zc)
+  }
+
   test("media pipeline: real BMP/WAV codecs, feature extraction, frame resize") {
     import graft.media.MediaOps
     // pure encode->decode roundtrip (no Spark): every pixel/sample survives
