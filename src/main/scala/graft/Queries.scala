@@ -424,6 +424,12 @@ object Queries {
     KnnOps.knnCellJoin(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
       cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
 
+  /** north_rule kNN formulation: cell-ring expansion + per-partition k-d
+    * tree; answers to the same brute-force oracle as q_knn. */
+  def qKnnKdtree(spark: SparkSession, sfDir: String): DataFrame =
+    KnnOps.knnKdTree(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
+      cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
+
   // ---- text / dedup / ann / docs (training-data pipeline ops) -------------
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_band_pivot" -> (Queries.qBandPivot _),
     "q_cell_index" -> (Queries.qCellIndex _),
     "q_knn" -> (Queries.qKnn _),
+    "q_knn_kdtree" -> (Queries.qKnnKdtree _),
     "q_text_quality" -> (Queries.qTextQuality _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_token_count" -> (Queries.qTokenCount _),
@@ -161,6 +162,7 @@ object SparkEntry {
       "q_band_pivot" -> Oracles.bandPivot,
       "q_cell_index" -> Oracles.cellIndex,
       "q_knn" -> Oracles.knn,
+      "q_knn_kdtree" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,
       "q_lang_id" -> Oracles.langId,
       "q_token_count" -> Oracles.tokenCount,

@@ -46,6 +46,111 @@ object KnnOps {
        |SELECT q_id, t_id, dist2, rank FROM r WHERE rank <= $k
        |ORDER BY q_id, rank""".stripMargin
 
+  /** Immutable 2-d k-d tree over (x, y, id) points: median split on the
+    * alternating axis (ties broken by id for a deterministic structure),
+    * bounded best-k search with (dist2, id) ordering — the per-partition
+    * index of the north_rule's kNN formulation. Arrays, no boxing on the
+    * hot path. */
+  final class KdTree private (xs: Array[Double], ys: Array[Double], ids: Array[Long])
+      extends Serializable {
+    // implicit medial tree: build sorts each (l,h) range on its axis, so the
+    // node of a range IS its midpoint; query re-derives the same midpoints
+    def query(qx: Double, qy: Double, k: Int): Array[(Double, Long)] = {
+      // bounded max-heap by (dist2 desc, id desc): the root is the WORST kept
+      val heap = new java.util.PriorityQueue[(Double, Long)](k,
+        (a: (Double, Long), b: (Double, Long)) => {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(b._2, a._2)
+        })
+      def consider(i: Int): Unit = {
+        val dx = qx - xs(i); val dy = qy - ys(i)
+        val d2 = dx * dx + dy * dy
+        val cand = (d2, ids(i))
+        if (heap.size < k) heap.add(cand)
+        else {
+          val worst = heap.peek()
+          val better = d2 < worst._1 || (d2 == worst._1 && ids(i) < worst._2)
+          if (better) { heap.poll(); heap.add(cand) }
+        }
+      }
+      def search(l: Int, h: Int, axis: Int): Unit = {
+        if (l > h) return
+        val m = (l + h) >>> 1
+        consider(m)
+        val qv = if (axis == 0) qx else qy
+        val mv = if (axis == 0) xs(m) else ys(m)
+        val (nearL, nearH, farL, farH) =
+          if (qv < mv) (l, m - 1, m + 1, h) else (m + 1, h, l, m - 1)
+        search(nearL, nearH, 1 - axis)
+        val planeD2 = (qv - mv) * (qv - mv)
+        val worst = if (heap.size < k) Double.PositiveInfinity else heap.peek()._1
+        if (planeD2 <= worst) search(farL, farH, 1 - axis)
+      }
+      search(0, xs.length - 1, 0)
+      val out = new Array[(Double, Long)](heap.size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = heap.poll(); i -= 1 }
+      out
+    }
+  }
+
+  object KdTree {
+    def build(pts: Array[(Long, Double, Double)]): KdTree = {
+      val n = pts.length
+      val idx = pts.clone()
+      def sortRange(l: Int, h: Int, axis: Int): Unit = {
+        if (l >= h) return
+        val ord: Ordering[(Long, Double, Double)] =
+          if (axis == 0) Ordering.by(p => (p._2, p._1)) else Ordering.by(p => (p._3, p._1))
+        java.util.Arrays.sort(idx, l, h + 1, ord)
+        val m = (l + h) >>> 1
+        sortRange(l, m - 1, 1 - axis)
+        sortRange(m + 1, h, 1 - axis)
+      }
+      sortRange(0, n - 1, 0)
+      new KdTree(idx.map(_._2), idx.map(_._3), idx.map(_._1))
+    }
+  }
+
+  /** kNN via cell-ring expansion + a per-partition k-d tree — the literal
+    * north_rule formulation. Targets replicate to the (2*ring+1)^2 buckets
+    * they serve; queries stay single-bucket; a typed cogroup builds ONE
+    * k-d tree per bucket and streams that bucket's queries through it. vs
+    * [[knnCellJoin]]: no (query, candidate) pair rows ever materialize and
+    * the top-k happens inside the cogroup — one shuffle total, no window
+    * exchange after. Same exactness condition (k-th NN within
+    * ring*cellSize), spec-asserted equal to brute force and to the cell
+    * join. */
+  def knnKdTree(queries: DataFrame, targets: DataFrame, k: Int,
+                cellSize: Double, ring: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("q_id"), col("qx"), col("qy")).as[(Long, Double, Double)]
+      .groupByKey { case (_, x, y) =>
+        (math.floor(x / cellSize).toLong, math.floor(y / cellSize).toLong) }
+    val t = targets.select(col("t_id"), col("tx"), col("ty")).as[(Long, Double, Double)]
+      .flatMap { p =>
+        val bx = math.floor(p._2 / cellSize).toLong
+        val by = math.floor(p._3 / cellSize).toLong
+        for (dx <- -ring to ring; dy <- -ring to ring)
+          yield ((bx + dx, by + dy), p)
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    q.cogroup(t) { (_, qs, ts) =>
+      val pts = ts.toArray
+      if (pts.isEmpty) Iterator.empty
+      else {
+        val tree = KdTree.build(pts)
+        qs.flatMap { case (qid, qx, qy) =>
+          tree.query(qx, qy, k).iterator.zipWithIndex.map { case ((d2, tid), i) =>
+            (qid, tid, d2, i + 1)
+          }
+        }
+      }
+    }.toDF("q_id", "t_id", "dist2", "rank")
+  }
+
   /** Grid-bucketed kNN: exact when the k-th NN is within ring*cellSize. */
   def knnCellJoin(queries: DataFrame, targets: DataFrame, k: Int,
                   cellSize: Double, ring: Int = 2): DataFrame = {

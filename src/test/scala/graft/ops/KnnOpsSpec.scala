@@ -17,6 +17,34 @@ class KnnOpsSpec extends SparkTestBase {
     assert(cell == bf, "cell-join kNN must be exact under the ring guarantee")
   }
 
+  test("k-d tree kNN (cogroup) equals brute force and the cell join exactly") {
+    val q = Queries.knnQueryPoints(spark)
+    val t = Queries.knnTargetPoints(spark)
+    val bf = KnnOps.knnBruteForce(q, t, 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    val kd = KnnOps.knnKdTree(q, t, 5, cellSize = 4632.0, ring = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(kd.size == bf.size)
+    assert(kd == bf, "k-d tree kNN must match brute force (ids AND bit-exact dist2)")
+  }
+
+  test("k-d tree query matches linear scan on adversarial point sets") {
+    val rnd = new scala.util.Random(7)
+    // duplicated coordinates + collinear runs stress the tie-breaks
+    val pts = Array.tabulate(500) { i =>
+      (i.toLong, (rnd.nextInt(40) * 0.5), (rnd.nextInt(40) * 0.5))
+    }
+    val tree = KnnOps.KdTree.build(pts)
+    for (_ <- 0 until 50) {
+      val qx = rnd.nextInt(45) * 0.5 - 1.0; val qy = rnd.nextInt(45) * 0.5 - 1.0
+      val exp = pts.map { case (id, x, y) =>
+        ((qx - x) * (qx - x) + (qy - y) * (qy - y), id)
+      }.sorted.take(7).toSeq
+      val got = tree.query(qx, qy, 7).toSeq
+      assert(got == exp, s"query ($qx,$qy)")
+    }
+  }
+
   test("bucketed kNN plans a hash join, not a cartesian product") {
     val q = Queries.knnQueryPoints(spark)
     val t = Queries.knnTargetPoints(spark)
