@@ -400,6 +400,17 @@ object Queries {
       .orderBy("row", "col")
   }
 
+  /** S2-style spherical (cube-face) cell index over the same sampled pixel
+    * set as q_cell_index — the second DGGS family of the north_rule ("H3
+    * and S2 cell covers"). */
+  def qCellIndexS2(spark: SparkSession, sfDir: String): DataFrame = {
+    val px = Synth.pixels(spark, modis).filter((col("row") * 200 + col("col")) % 7 === 0)
+    val (lon, lat) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
+    px.select(col("row"), col("col"),
+        Cells.s2CellIdColumn(lon, lat, cellLevel).as("cell_id"))
+      .orderBy("row", "col")
+  }
+
   // ---- kNN ----------------------------------------------------------------
 
   val knnK = 5
@@ -752,6 +763,15 @@ object Queries {
          |SELECT row, col, ${Cells.cellIdSql(lonE, latE, cellLevel)} AS cell_id
          |FROM px WHERE (row*200 + col) % 7 = 0
          |ORDER BY row, col""".stripMargin
+    }
+
+    def cellIndexS2: String = {
+      val (r, lon0) = (6371007.181, 0.0)
+      val latE = s"(y / $r) / ${WarpOps.D2R}"
+      val lonE = s"(x / ($r * COS(y / $r))) / ${WarpOps.D2R} + $lon0"
+      val src = s"SELECT row, col, x, y FROM ($px) WHERE (row*200 + col) % 7 = 0"
+      Cells.s2CellIdSql(src, lonE, latE, cellLevel, Seq("row", "col")) +
+        "\nORDER BY row, col"
     }
 
     def knn: String = {

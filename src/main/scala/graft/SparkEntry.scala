@@ -65,6 +65,7 @@ object SparkEntry {
     "q_interpolate_na" -> (Queries.qInterpolateNa _),
     "q_band_pivot" -> (Queries.qBandPivot _),
     "q_cell_index" -> (Queries.qCellIndex _),
+    "q_cell_index_s2" -> (Queries.qCellIndexS2 _),
     "q_knn" -> (Queries.qKnn _),
     "q_knn_kdtree" -> (Queries.qKnnKdtree _),
     "q_text_quality" -> (Queries.qTextQuality _),
@@ -161,6 +162,7 @@ object SparkEntry {
       "q_interpolate_na" -> Oracles.interpolateNa,
       "q_band_pivot" -> Oracles.bandPivot,
       "q_cell_index" -> Oracles.cellIndex,
+      "q_cell_index_s2" -> Oracles.cellIndexS2,
       "q_knn" -> Oracles.knn,
       "q_knn_kdtree" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,

@@ -164,4 +164,118 @@ object Cells {
     }
     s"((${terms.mkString(" | ")}) << 5) | $level"
   }
+
+  // ---- S2-style spherical cells (cube-face quadtree) -----------------------
+  // The planar lon/lat quadtree above distorts badly toward the poles; the
+  // second DGGS family projects the unit sphere onto six cube faces
+  // (gnomonic per face, the public S2 face/uv convention) and applies the
+  // standard quadratic uv->st curvature correction so cells stay near-equal
+  // area. Id layout: (face << 2L | morton) << 5 | level. All three forms
+  // (scalar / Column / SQL) are kept in arithmetic lockstep; the floor is
+  // ROUND(,9)-guarded like every other cross-engine key derivation.
+
+  /** face 0..5 and gnomonic (u, v) of a unit vector — S2's XYZtoFaceUV. */
+  def s2FaceUv(lonDeg: Double, latDeg: Double): (Int, Double, Double) = {
+    val lon = lonDeg * Projection.D2R; val lat = latDeg * Projection.D2R
+    val x = math.cos(lat) * math.cos(lon)
+    val y = math.cos(lat) * math.sin(lon)
+    val z = math.sin(lat)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    if (ax >= ay && ax >= az) { if (x > 0) (0, y / x, z / x) else (3, z / x, y / x) }
+    else if (ay >= az) { if (y > 0) (1, -x / y, z / y) else (4, z / y, -x / y) }
+    else { if (z > 0) (2, -x / z, -y / z) else (5, -y / z, -x / z) }
+  }
+
+  /** S2 quadratic uv -> st ([-1,1] -> [0,1], near-equal-area). */
+  def s2St(u: Double): Double =
+    if (u >= 0) 0.5 * math.sqrt(1.0 + 3.0 * u) else 1.0 - 0.5 * math.sqrt(1.0 - 3.0 * u)
+
+  private def r9(v: Double): Double =
+    BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  def s2CellId(lonDeg: Double, latDeg: Double, level: Int): Long = {
+    val n = 1L << level
+    val (f, u, v) = s2FaceUv(lonDeg, latDeg)
+    val si = math.min(n - 1, math.max(0L, math.floor(r9(s2St(u) * n)).toLong))
+    val ti = math.min(n - 1, math.max(0L, math.floor(r9(s2St(v) * n)).toLong))
+    (((f.toLong << (2 * level)) | morton(si, ti)) << 5) | level.toLong
+  }
+
+  def s2Face(id: Long, level: Int): Int = ((id >>> 5) >>> (2 * level)).toInt
+  def s2Parent(id: Long, level: Int, parentLevel: Int): Long = {
+    require(parentLevel <= level)
+    val body = id >>> 5
+    val face = body >>> (2 * level)
+    val m = body & ((1L << (2 * level)) - 1)
+    (((face << (2 * parentLevel)) | (m >>> (2 * (level - parentLevel)))) << 5) |
+      parentLevel.toLong
+  }
+
+  def s2CellIdColumn(lon: Column, lat: Column, level: Int): Column = {
+    import org.apache.spark.sql.functions.{cos => fcos, sin => fsin, abs => fabs, sqrt => fsqrt, when, round, floor => ffloor}
+    val n = 1L << level
+    val lonR = lon * Projection.D2R; val latR = lat * Projection.D2R
+    val x = fcos(latR) * fcos(lonR)
+    val y = fcos(latR) * fsin(lonR)
+    val z = fsin(latR)
+    val ax = fabs(x); val ay = fabs(y); val az = fabs(z)
+    val face = when(ax >= ay && ax >= az, when(x > 0d, 0L).otherwise(3L))
+      .otherwise(when(ay >= az, when(y > 0d, 1L).otherwise(4L))
+        .otherwise(when(z > 0d, 2L).otherwise(5L)))
+    val u = when(face === 0L, y / x).when(face === 3L, z / x)
+      .when(face === 1L, -x / y).when(face === 4L, z / y)
+      .when(face === 2L, -x / z).otherwise(-y / z)
+    val v = when(face === 0L, z / x).when(face === 3L, y / x)
+      .when(face === 1L, z / y).when(face === 4L, -x / y)
+      .when(face === 2L, -y / z).otherwise(-x / z)
+    def st(c: Column): Column =
+      when(c >= 0d, lit(0.5) * fsqrt(lit(1.0) + lit(3.0) * c))
+        .otherwise(lit(1.0) - lit(0.5) * fsqrt(lit(1.0) - lit(3.0) * c))
+    val si = least(lit(n - 1), greatest(lit(0L), ffloor(round(st(u) * n, 9))))
+    val ti = least(lit(n - 1), greatest(lit(0L), ffloor(round(st(v) * n, 9))))
+    shiftleft(shiftleft(face, 2 * level).bitwiseOR(mortonColumn(si, ti, level)), 5)
+      .bitwiseOR(lit(level.toLong))
+  }
+
+  /** DuckDB mirror of [[s2CellIdColumn]]: wraps `srcSql` in a CTE chain
+    * (inline expansion of the nested CASEs would blow up exponentially) and
+    * returns `outCols` + `cell_id` — identical CASE nesting and arithmetic
+    * order to the Column form. `lonE`/`latE` are expressions over srcSql's
+    * columns. */
+  def s2CellIdSql(srcSql: String, lonE: String, latE: String, level: Int,
+                  outCols: Seq[String]): String = {
+    val n = 1L << level
+    val d2r = Projection.D2R
+    val face =
+      """CASE WHEN ABS(_sx) >= ABS(_sy) AND ABS(_sx) >= ABS(_sz)
+        |         THEN CASE WHEN _sx > 0 THEN 0 ELSE 3 END
+        |       WHEN ABS(_sy) >= ABS(_sz)
+        |         THEN CASE WHEN _sy > 0 THEN 1 ELSE 4 END
+        |       ELSE CASE WHEN _sz > 0 THEN 2 ELSE 5 END END""".stripMargin
+    val u = """CASE _f WHEN 0 THEN _sy/_sx WHEN 3 THEN _sz/_sx
+              |        WHEN 1 THEN -_sx/_sy WHEN 4 THEN _sz/_sy
+              |        WHEN 2 THEN -_sx/_sz ELSE -_sy/_sz END""".stripMargin
+    val v = """CASE _f WHEN 0 THEN _sz/_sx WHEN 3 THEN _sy/_sx
+              |        WHEN 1 THEN _sz/_sy WHEN 4 THEN -_sx/_sy
+              |        WHEN 2 THEN -_sy/_sz ELSE -_sx/_sz END""".stripMargin
+    def st(e: String) =
+      s"CASE WHEN $e >= 0 THEN 0.5*SQRT(1.0 + 3.0*($e)) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*($e)) END"
+    def idx(e: String) =
+      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(ROUND(($e) * $n, 9)) AS BIGINT)))"
+    val terms = (0 until level).flatMap { b =>
+      Seq(s"((_si & ${1L << b}) << $b)", s"((_ti & ${1L << b}) << ${b + 1})")
+    }
+    s"""WITH _src AS ($srcSql),
+       |_xyz AS (SELECT *,
+       |    COS(($latE) * $d2r) * COS(($lonE) * $d2r) AS _sx,
+       |    COS(($latE) * $d2r) * SIN(($lonE) * $d2r) AS _sy,
+       |    SIN(($latE) * $d2r) AS _sz
+       |  FROM _src),
+       |_fuv AS (SELECT *, $face AS _f FROM _xyz),
+       |_uv AS (SELECT *, $u AS _u, $v AS _v FROM _fuv),
+       |_sti AS (SELECT *, ${idx(st("_u"))} AS _si, ${idx(st("_v"))} AS _ti FROM _uv)
+       |SELECT ${outCols.mkString(", ")},
+       |  (((CAST(_f AS BIGINT) << ${2 * level}) | (${terms.mkString(" | ")})) << 5) | $level AS cell_id
+       |FROM _sti""".stripMargin
+  }
 }

@@ -70,4 +70,33 @@ class CellsSpec extends SparkTestBase {
       assert(got.toSeq == exp, s"level $level")
     }
   }
+
+  test("s2-style cells: face selection, hierarchy, scalar == Column") {
+    // axis points land on the expected cube faces
+    assert(Cells.s2FaceUv(0, 0)._1 == 0)     // +x
+    assert(Cells.s2FaceUv(90, 0)._1 == 1)    // +y
+    assert(Cells.s2FaceUv(0, 89.9)._1 == 2)  // +z
+    assert(Cells.s2FaceUv(179.9, 0)._1 == 3) // -x
+    assert(Cells.s2FaceUv(-90, 0)._1 == 4)   // -y
+    assert(Cells.s2FaceUv(0, -89.9)._1 == 5) // -z
+    // hierarchy: the level-(L-1) id of a point is the parent of its level-L id
+    val s2pts = Seq((-93.1, 44.7), (12.7, -33.2), (151.2, 61.9), (-179.3, -5.0))
+    for ((lon, lat) <- s2pts; l <- 5 to 12) {
+      val id = Cells.s2CellId(lon, lat, l)
+      assert(Cells.s2Parent(id, l, l - 1) == Cells.s2CellId(lon, lat, l - 1),
+        s"($lon,$lat) level $l")
+      assert(Cells.s2Face(id, l) == Cells.s2FaceUv(lon, lat)._1)
+    }
+    // Column form agrees with the scalar form on a generated sample
+    import spark.implicits._
+    val sample = (0 until 500).map { i =>
+      (i.toLong, -180.0 + (i * 7919 % 3600) / 10.0, -89.0 + (i * 104729 % 1780) / 10.0)
+    }
+    val got = sample.toDF("id", "lon", "lat")
+      .withColumn("cell", Cells.s2CellIdColumn(col("lon"), col("lat"), 10))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    sample.foreach { case (id, lon, lat) =>
+      assert(got(id) == Cells.s2CellId(lon, lat, 10), s"point $id ($lon,$lat)")
+    }
+  }
 }
