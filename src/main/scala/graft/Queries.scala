@@ -746,7 +746,10 @@ object Queries {
       s"""WITH px AS ($px),
          |z AS (${zones.mkString("\nUNION ALL\n")})
          |SELECT geom_id, count(*) AS n_pixels, CAST(sum(value) AS BIGINT) AS sum_value,
-         |  min(value) AS min_value, max(value) AS max_value
+         |  min(value) AS min_value, max(value) AS max_value,
+         |  CAST(CAST(sum(value) AS BIGINT) AS DOUBLE) / count(*) AS mean_value,
+         |  SQRT((CAST(CAST(sum(value*value) AS BIGINT) AS DOUBLE)
+         |        - CAST(CAST(sum(value) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(value) AS BIGINT) AS DOUBLE) / count(*)) / count(*)) AS std_value
          |FROM z GROUP BY geom_id ORDER BY geom_id""".stripMargin
     }
 

@@ -200,11 +200,20 @@ object VectorOps {
     val joined = pipJoin(r.df, geoms)
     val isLong = r.df.schema("value").dataType.typeName == "long"
     val nod: Column = if (isLong) lit(r.grid.nodata.toLong) else lit(r.grid.nodata)
+    // mean/std from exact integer moments (sum, sum of squares): both engines
+    // run the identical double expression over identical integers, so the
+    // results are bit-exact with no accumulation-order dependence.
+    val n = count(lit(1))
+    val s1 = sum("value")
+    val s2 = sum(col("value") * col("value"))
     joined.filter(col("value") =!= nod)
       .groupBy("geom_id")
-      .agg(count(lit(1)).as("n_pixels"),
-           sum("value").as("sum_value"),
+      .agg(n.as("n_pixels"),
+           s1.as("sum_value"),
            min("value").as("min_value"),
-           max("value").as("max_value"))
+           max("value").as("max_value"),
+           (s1.cast("double") / n).as("mean_value"),
+           sqrt((s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / n)
+             .as("std_value"))
   }
 }
