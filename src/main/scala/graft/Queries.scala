@@ -126,6 +126,13 @@ object Queries {
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  /** Dataset reproject (per-variable loop folded into the join key,
+    * raster_dataset.py:59-142). */
+  def qReprojectDs(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectDatasetNearest(datasetPixels(spark, modis, dsVarSeeds),
+        dsVarNames, modis, reprojDst)
+      .orderBy("var_name", "row", "col")
+
   /** The tile-native warp kernel under the SAME oracle as the pixel path:
     * packed-tile gather -> per-dst-tile render -> unpack. Bit-identical
     * output is the kernel's contract (TileWarpSpec); this entry makes the
@@ -624,6 +631,12 @@ object Queries {
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(rotatedGrid)})")
     def reprojectSqToRot: String = WarpOps.nearestAffineSql(squaredGrid, rotatedGrid,
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(squaredGrid)})")
+
+    def reprojectDs: String =
+      WarpOps.nearestSinuDatasetSql(modis, reprojDst,
+        dsVarSeeds.map { case (v, seed) =>
+          v -> s"SELECT row, col, value FROM (${Synth.pixelsSql(modis, seed)})"
+        })
 
     def reprojectRes: String =
       WarpOps.nearestSinuFromLonLatSql(modis, reprojResDst, pxSrcSql)

@@ -245,6 +245,72 @@ object WarpOps {
     Raster(joined, dst)
   }
 
+  /** Dataset (multi-variable) reproject — the reference's RasterDataset
+    * per-variable loop (raster_dataset.py:59-142). The per-pixel key math is
+    * variable-independent, so the loop disappears into the join key:
+    * var_name rides the generated destination (one explode over a literal
+    * list) and joins alongside (src_row, src_col) — ONE shuffle for any
+    * number of variables, exactly like MergeOps.mergeDatasets. */
+  def reprojectDatasetNearest(ds: DataFrame, varNames: Seq[String],
+                              src: GridRef, dst: GridRef): DataFrame = {
+    val spark = ds.sparkSession
+    val dstPx = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+      .select(col("*"), explode(array(varNames.map(lit): _*)).as("var_name"))
+    val (px, py) = srcPixelColumns(src, dst, col("row"), col("col"))
+    val keyed = dstPx
+      .withColumn("src_col", floor(px))
+      .withColumn("src_row", floor(py))
+    val srcDf = ds.select(col("var_name").as("s_var"), col("row").as("s_row"),
+                          col("col").as("s_col"), col("value").as("s_value"))
+    keyed.join(srcDf,
+        keyed("var_name") === srcDf("s_var") &&
+        keyed("src_row") === srcDf("s_row") && keyed("src_col") === srcDf("s_col"), "left")
+      .select(col("var_name"), col("row"), col("col"),
+        Synth.xColumn(dst, col("col")).as("x"),
+        Synth.yColumn(dst, col("row")).as("y"),
+        coalesce(col("s_value"), lit(dst.nodata.toLong)).as("value"))
+  }
+
+  /** DuckDB mirror of [[reprojectDatasetNearest]] for the sinusoidal->longlat
+    * fixture; `varSrcs` = (var_name, per-variable source SQL). */
+  def nearestSinuDatasetSql(src: GridRef, dst: GridRef,
+                            varSrcs: Seq[(String, String)]): String = {
+    val (r, lon0) = src.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
+    }
+    val t = dst.transform; val s = src.transform
+    val lonE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
+    val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
+    val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
+    val syE = s"$r * (($latE) * $D2R)"
+    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
+    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    val union = varSrcs.map { case (v, sql) =>
+      s"SELECT '$v' AS var_name, row, col, value FROM ($sql)"
+    }.mkString("\nUNION ALL\n")
+    val vars = varSrcs.map(v => s"('${v._1}')").mkString(", ")
+    s"""WITH dstpx AS (
+       |  SELECT v.var_name, CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i),
+       |       (VALUES $vars) v(var_name)),
+       |keyed AS (
+       |  SELECT var_name, row, col,
+       |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
+       |    CAST(FLOOR($pyE) AS BIGINT) AS src_row
+       |  FROM dstpx),
+       |src AS ($union)
+       |SELECT k.var_name, k.row, k.col,
+       |  ${t.a}*(CAST(k.col AS DOUBLE) + 0.5) + ${t.c} AS x,
+       |  ${t.e}*(CAST(k.row AS DOUBLE) + 0.5) + ${t.f} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s
+       |  ON k.var_name = s.var_name AND k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.var_name, k.row, k.col""".stripMargin
+  }
+
   /** SQL oracle for reprojectNearest when dst CRS is longlat and src is the
     * spherical sinusoidal synthetic grid (identical arithmetic, textually). */
   def nearestSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
