@@ -50,13 +50,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.PixelSchema
+    if (GraftDataSource.isDatasetStore(path(options))) GraftDataSource.DatasetSchema
+    else GraftDataSource.PixelSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val p = path(new CaseInsensitiveStringMap(properties))
     val (grid, tileSize) = TileIO.readGrid(SparkSession.active, p)
-    new GraftTable(p, grid, tileSize)
+    new GraftTable(p, grid, tileSize, GraftDataSource.isDatasetStore(p))
   }
 }
 
@@ -67,30 +68,66 @@ object GraftDataSource {
     StructField("x", DoubleType, nullable = false),
     StructField("y", DoubleType, nullable = false),
     StructField("value", LongType, nullable = false)))
+
+  /** Multi-variable (TileIO.writeDatasetTiles) stores add the var_name
+    * partition column. */
+  val DatasetSchema: StructType =
+    StructType(StructField("var_name", StringType, nullable = false) +: PixelSchema.fields)
+
+  /** A dataset store keeps its tiles under var_name=<v>/ partition dirs. */
+  def isDatasetStore(path: String): Boolean = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.exists(p) && fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("var_name="))
+  }
+
+  /** (file, var_name or null) pairs: flat store -> top-level parquet files;
+    * dataset store -> files inside each var_name=<v>/ directory. */
+  def listDataFiles(path: String): Seq[(Path, String)] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val top = fs.listStatus(root)
+    val parts = top.filter(s => s.isDirectory && s.getPath.getName.startsWith("var_name="))
+    if (parts.isEmpty)
+      top.filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, null: String)).toSeq
+    else parts.toSeq.flatMap { d =>
+      val v = d.getPath.getName.stripPrefix("var_name=")
+      fs.listStatus(d.getPath).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, v))
+    }
+  }
 }
 
-class GraftTable(path: String, grid: GridRef, tileSize: Int)
+class GraftTable(path: String, grid: GridRef, tileSize: Int, isDataset: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft.`$path`"
-  override def schema(): StructType = GraftDataSource.PixelSchema
+  override def schema(): StructType =
+    if (isDataset) GraftDataSource.DatasetSchema else GraftDataSource.PixelSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, grid, tileSize)
+    new GraftScanBuilder(path, grid, tileSize, isDataset)
 }
 
 /** Folds top-level row/col range conjuncts into a pixel window (handled
-  * exactly — integer bounds — so they are consumed, not re-evaluated);
-  * everything else stays a residual Spark-side filter. */
-class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int)
+  * exactly — integer bounds — so they are consumed, not re-evaluated) and
+  * var_name equality/IN into partition-directory pruning; everything else
+  * stays a residual Spark-side filter. */
+class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int, isDataset: Boolean)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var rowMin = 0L
   private var rowMax = grid.height.toLong - 1
   private var colMin = 0L
   private var colMax = grid.width.toLong - 1
+  private var vars: Option[Set[String]] = None
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftDataSource.PixelSchema
+  private var required: StructType =
+    if (isDataset) GraftDataSource.DatasetSchema else GraftDataSource.PixelSchema
 
   private def long(v: Any): Long = v.asInstanceOf[Number].longValue()
 
@@ -100,7 +137,8 @@ class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int)
       case GreaterThanOrEqual(a, _) => a == "row" || a == "col"
       case LessThan(a, _) => a == "row" || a == "col"
       case LessThanOrEqual(a, _) => a == "row" || a == "col"
-      case EqualTo(a, _) => a == "row" || a == "col"
+      case EqualTo(a, _) => a == "row" || a == "col" || (a == "var_name" && isDataset)
+      case In(a, _) => a == "var_name" && isDataset
       case _ => false
     }
     accepted.foreach {
@@ -114,6 +152,12 @@ class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int)
       case LessThan("col", v) => colMax = math.min(colMax, long(v) - 1)
       case LessThanOrEqual("col", v) => colMax = math.min(colMax, long(v))
       case EqualTo("col", v) => colMin = math.max(colMin, long(v)); colMax = math.min(colMax, long(v))
+      case EqualTo("var_name", v) =>
+        val s = Set(v.asInstanceOf[String])
+        vars = Some(vars.fold(s)(_ intersect s))
+      case In("var_name", vs) =>
+        val s = vs.map(_.asInstanceOf[String]).toSet
+        vars = Some(vars.fold(s)(_ intersect s))
       case _ => ()
     }
     pushed = accepted
@@ -126,17 +170,19 @@ class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int)
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(path, grid, tileSize, rowMin, rowMax, colMin, colMax, required)
+    new GraftScan(path, grid, tileSize, rowMin, rowMax, colMin, colMax, vars, required)
 }
 
 class GraftScan(path: String, grid: GridRef, tileSize: Int,
                 rowMin: Long, rowMax: Long, colMin: Long, colMax: Long,
+                vars: Option[Set[String]],
                 required: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft tiles window=[rows $rowMin..$rowMax, cols $colMin..$colMax] " +
+      vars.map(v => s"vars=${v.toSeq.sorted.mkString("{", ",", "}")} ").getOrElse("") +
       s"columns=${required.fieldNames.mkString(",")}"
 
   private def tRowMin = rowMin / tileSize
@@ -148,20 +194,19 @@ class GraftScan(path: String, grid: GridRef, tileSize: Int,
     * (tile_row, tile_col) — the same stats TileIO's Hilbert-ordered write
     * produced for range locality. Empty window → zero partitions. */
   override def planInputPartitions(): Array[InputPartition] = {
-    if (rowMin > rowMax || colMin > colMax) return Array.empty
+    if (rowMin > rowMax || colMin > colMax || vars.exists(_.isEmpty)) return Array.empty
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val fs = new Path(path).getFileSystem(conf)
-    val files = fs.listStatus(new Path(path))
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath)
-    files.filter { f =>
+    val files = GraftDataSource.listDataFiles(path)
+      .filter { case (_, v) => vars.forall(ws => v != null && ws.contains(v)) ||
+                               (v == null && vars.isEmpty) }
+    files.filter { case (f, _) =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
       try {
         reader.getFooter.getBlocks.asScala.exists(b => blockOverlaps(b))
       } finally reader.close()
-    }.map(f => GraftInputPartition(f.toString, grid, tileSize,
-                                   rowMin, rowMax, colMin, colMax,
-                                   required.fieldNames): InputPartition)
+    }.map { case (f, v) => GraftInputPartition(f.toString, grid, tileSize,
+                                   rowMin, rowMax, colMin, colMax, v,
+                                   required.fieldNames): InputPartition }.toArray
   }
 
   private def blockOverlaps(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =
@@ -197,6 +242,7 @@ object GraftScan {
 
 case class GraftInputPartition(file: String, grid: GridRef, tileSize: Int,
                                rowMin: Long, rowMax: Long, colMin: Long, colMax: Long,
+                               varName: String,
                                columns: Array[String]) extends InputPartition
 
 class GraftReaderFactory extends PartitionReaderFactory {
@@ -269,6 +315,8 @@ class GraftPartitionReader(p: GraftInputPartition) extends PartitionReader[Inter
             case "x" => out.setDouble(f, t.a * (col + 0.5) + t.b * (row + 0.5) + t.c)
             case "y" => out.setDouble(f, t.d * (col + 0.5) + t.e * (row + 0.5) + t.f)
             case "value" => out.setLong(f, v.toLong)
+            case "var_name" =>
+              out.update(f, org.apache.spark.unsafe.types.UTF8String.fromString(p.varName))
           }
           f += 1
         }

@@ -63,6 +63,29 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(parts == 0 && none.count() == 0)
   }
 
+  test("dataset store: var_name column appears and equality prunes partition dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2").toString + "/ds1"
+    TileIO.writeDatasetTiles(
+      graft.Queries.datasetPixels(spark, Synth.modisGrid, graft.Queries.dsVarSeeds),
+      Synth.modisGrid, dir, tileSize = 50)
+    val df = spark.read.format("graft").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("var_name", "row", "col", "x", "y", "value"))
+    val (_, fullParts) = scanInfo(df)
+    val one = df.filter(col("var_name") === "nir")
+    val (desc, parts) = scanInfo(one)
+    assert(desc.contains("vars={nir}"), desc)
+    assert(parts < fullParts, s"var pruning: $parts vs $fullParts")
+    val got = one.collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(5)).toMap
+    assert(got.size == 200 * 200)
+    val expect = TileIO.readDatasetPixels(spark, dir, variables = Some(Seq("nir")))._1
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(5)).toMap
+    assert(got == expect)
+    // impossible var -> zero partitions
+    val (_, none) = scanInfo(df.filter(col("var_name") === "nope"))
+    assert(none == 0)
+  }
+
   test("column pruning reaches the reader and residual filters still apply") {
     val df = spark.read.format("graft").load(store)
       .filter(col("row") === 7 && col("value") > 0)
