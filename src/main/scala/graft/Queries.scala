@@ -143,6 +143,14 @@ object Queries {
         Raster(Synth.pixels(spark, modis), modis), reprojDst, ts = 50),
       reprojDst, ts = 50).orderBy("row", "col")
 
+  /** Tile-native bilinear under the exploded bilinear's oracle (the halo
+    * rides the fragment sub-rectangles — no separate exchange). */
+  def qReprojectTiledBilinear(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TileWarp.toPixels(
+      graft.ops.TileWarp.reprojectBilinearTiles(
+        Raster(Synth.pixels(spark, modis), modis), reprojDst, ts = 50),
+      reprojDst, ts = 50, asLong = false).orderBy("row", "col")
+
   /** reproject(resolution=) / reproject(shape=) kwargs paths
     * (raster_array.py:202-236; destination sizing _make_dst_affine). */
   lazy val reprojResDst: GridRef =

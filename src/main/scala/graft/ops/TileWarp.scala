@@ -108,12 +108,28 @@ object TileWarp {
     * at-rest TileIO layout; the pack shuffle is a one-time layout cost, not
     * part of the warp. */
   def reprojectNearestPacked(srcTiles: DataFrame, src: GridRef,
-                             dst: GridRef, ts: Int): Dataset[DstTile] = {
+                             dst: GridRef, ts: Int): Dataset[DstTile] =
+    warpPacked(srcTiles, src, dst, ts, CoverMarginPx,
+      (tr, tc, tiles) => renderTile(tr, tc, tiles, src, dst, ts, dst.nodata.toLong))
+
+  /** Bilinear over packed tiles: same gather, +1 source pixel of cover
+    * margin (the 2x2 neighbourhood halo — SURVEY §7.4 risk 5: the halo is
+    * not a separate exchange, it rides the fragment sub-rectangles), and a
+    * render kernel that mirrors WarpOps.reprojectBilinear's weight
+    * arithmetic term-for-term (bit-identical output, TileWarpSpec). */
+  def reprojectBilinearTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] =
+    warpPacked(pack(srcR, ts), srcR.grid, dst, ts, CoverMarginPx + 2,
+      (tr, tc, tiles) => renderTileBilinear(tr, tc, tiles, srcR.grid, dst, ts,
+                                            dst.nodata))
+
+  private def warpPacked(srcTiles: DataFrame, src: GridRef,
+                         dst: GridRef, ts: Int, marginPx: Long,
+                         render: (Long, Long, Array[SrcFrag]) => Array[Double]):
+      Dataset[DstTile] = {
     val spark = srcTiles.sparkSession
     import spark.implicits._
     val nTx = (dst.width + ts - 1) / ts
     val nTy = (dst.height + ts - 1) / ts
-    val nodata = dst.nodata.toLong
 
     // 3x3 boundary samples per dst tile, as generated Column math
     val samples = Seq(0, ts / 2, ts - 1)
@@ -133,10 +149,10 @@ object TileWarp {
       .groupBy("dt_row", "dt_col")
       .agg(min("sr").as("r_min"), max("sr").as("r_max"),
            min("sc").as("c_min"), max("sc").as("c_max"))
-      .withColumn("rlo", greatest(col("r_min") - CoverMarginPx, lit(0L)))
-      .withColumn("rhi", least(col("r_max") + CoverMarginPx, lit(src.height.toLong - 1)))
-      .withColumn("clo", greatest(col("c_min") - CoverMarginPx, lit(0L)))
-      .withColumn("chi", least(col("c_max") + CoverMarginPx, lit(src.width.toLong - 1)))
+      .withColumn("rlo", greatest(col("r_min") - marginPx, lit(0L)))
+      .withColumn("rhi", least(col("r_max") + marginPx, lit(src.height.toLong - 1)))
+      .withColumn("clo", greatest(col("c_min") - marginPx, lit(0L)))
+      .withColumn("chi", least(col("c_max") + marginPx, lit(src.width.toLong - 1)))
       // (sequence over rlo div ts .. rhi div ts naturally reaches the last
       // PARTIAL source tile when the grid is not a tile multiple — padded
       // cells are never read because sr/sc are grid-bounds-checked)
@@ -165,15 +181,12 @@ object TileWarp {
 
     // dst tiles whose cover found no src tiles at all still need emitting
     val covered = gathered.map { gth =>
-      DstTile(gth.dt_row, gth.dt_col,
-        renderTile(gth.dt_row, gth.dt_col, gth.tiles, src, dst, ts, nodata))
+      DstTile(gth.dt_row, gth.dt_col, render(gth.dt_row, gth.dt_col, gth.tiles))
     }
     val empty = dstTiles.join(gathered.select("dt_row", "dt_col"),
         Seq("dt_row", "dt_col"), "left_anti")
       .as[(Long, Long)]
-      .map { case (tr, tc) =>
-        DstTile(tr, tc, renderTile(tr, tc, Array.empty, src, dst, ts, nodata))
-      }
+      .map { case (tr, tc) => DstTile(tr, tc, render(tr, tc, Array.empty)) }
     covered.unionByName(empty)
   }
 
@@ -220,9 +233,63 @@ object TileWarp {
     out
   }
 
+  /** Bilinear render kernel — term-for-term mirror of
+    * WarpOps.reprojectBilinear (fx = round9(px) - 0.5, 2x2 gather, any
+    * missing/nodata neighbour -> nodata, identical weight expression). */
+  private def renderTileBilinear(dtRow: Long, dtCol: Long, tiles: Array[SrcFrag],
+                                 src: GridRef, dst: GridRef, ts: Int,
+                                 nodata: Double): Array[Double] = {
+    val out = Array.fill(ts * ts)(nodata)
+    if (tiles.isEmpty) return out
+    val tr0 = tiles.map(_.st_row).min; val tr1 = tiles.map(_.st_row).max
+    val tc0 = tiles.map(_.st_col).min; val tc1 = tiles.map(_.st_col).max
+    val lut = Array.ofDim[SrcFrag]((tr1 - tr0 + 1).toInt, (tc1 - tc0 + 1).toInt)
+    tiles.foreach(t => lut((t.st_row - tr0).toInt)((t.st_col - tc0).toInt) = t)
+    // NaN = neighbour unavailable (outside grid or not gathered)
+    def fetch(sr: Long, sc: Long): Double = {
+      if (sr < 0 || sr >= src.height || sc < 0 || sc >= src.width) return Double.NaN
+      val str = Math.floorDiv(sr, ts); val stc = Math.floorDiv(sc, ts)
+      if (str < tr0 || str > tr1 || stc < tc0 || stc > tc1) return Double.NaN
+      val f = lut((str - tr0).toInt)((stc - tc0).toInt)
+      if (f == null) return Double.NaN
+      val lr = Math.floorMod(sr, ts).toInt - f.lr0
+      val lc = Math.floorMod(sc, ts).toInt - f.lc0
+      if (lr < 0 || lc < 0 || lc >= f.w || lr >= f.frag.length / f.w) Double.NaN
+      else f.frag(lr * f.w + lc)
+    }
+    var v = 0
+    while (v < ts) {
+      val r = dtRow * ts + v
+      if (r < dst.height) {
+        var u = 0
+        while (u < ts) {
+          val c = dtCol * ts + u
+          if (c < dst.width) {
+            val (pxv, pyv) = srcPixelScalar(src, dst, r, c)
+            val fx = pxv - 0.5; val fy = pyv - 0.5
+            val c0 = math.floor(fx).toLong; val r0 = math.floor(fy).toLong
+            val wx = fx - math.floor(fx); val wy = fy - math.floor(fy)
+            val v00 = fetch(r0, c0); val v01 = fetch(r0, c0 + 1)
+            val v10 = fetch(r0 + 1, c0); val v11 = fetch(r0 + 1, c0 + 1)
+            val bad = v00.isNaN || v01.isNaN || v10.isNaN || v11.isNaN ||
+              v00 == nodata || v01 == nodata || v10 == nodata || v11 == nodata
+            if (!bad)
+              out(v * ts + u) =
+                (1.0 - wy) * ((1.0 - wx) * v00 + wx * v01) +
+                  wy * ((1.0 - wx) * v10 + wx * v11)
+          }
+          u += 1
+        }
+      }
+      v += 1
+    }
+    out
+  }
+
   /** Explode dst tiles back to the (row, col, x, y, value) pixel schema
     * (comparison/compat path; production consumers keep the packed form). */
-  def toPixels(tiles: Dataset[DstTile], dst: GridRef, ts: Int): DataFrame = {
+  def toPixels(tiles: Dataset[DstTile], dst: GridRef, ts: Int,
+               asLong: Boolean = true): DataFrame = {
     tiles.toDF()
       .select(col("tile_row"), col("tile_col"), posexplode(col("data")).as(Seq("i", "dvalue")))
       .withColumn("row", col("tile_row") * ts + expr(s"i div $ts"))
@@ -230,7 +297,7 @@ object TileWarp {
       .filter(col("row") < dst.height && col("col") < dst.width)
       .withColumn("x", Synth.xColumn(dst, col("col")))
       .withColumn("y", Synth.yColumn(dst, col("row")))
-      .withColumn("value", col("dvalue").cast("long"))
+      .withColumn("value", if (asLong) col("dvalue").cast("long") else col("dvalue"))
       .select("row", "col", "x", "y", "value")
   }
 }
