@@ -556,6 +556,13 @@ object Queries {
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, docCellLevel)
       .orderBy("doc_id", "cell_id")
 
+  /** S2 cover of each doc geometry (level 7, 9x9 lattice — step ≤ half the
+    * minimum cell angular extent for the fixture's ≤0.8° boxes). */
+  def qDocGeomCellsS2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.geomCellCoverS2(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, level = 7)
+      .orderBy("doc_id", "cell_id")
+
   def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.spatialTileAssignments(
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, 12)
@@ -831,6 +838,7 @@ object Queries {
     def docSpans: String = graft.docs.DocOps.flatSpansSql("documents")
     def docTileAssign: String = graft.docs.DocOps.tileAssignmentsSql("documents")
     def docGeomCells: String = graft.docs.DocOps.geomCellCoverSql("documents", modis, docCellLevel)
+    def docGeomCellsS2: String = graft.docs.DocOps.geomCellCoverS2Sql("documents", modis, 7)
     def docTileSpatial: String = graft.docs.DocOps.spatialTileAssignmentsSql("documents", modis, 12)
 
     val lineitemAgg: String =

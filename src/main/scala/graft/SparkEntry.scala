@@ -86,6 +86,7 @@ object SparkEntry {
     "q_doc_spans" -> (Queries.qDocSpans _),
     "q_doc_tile_assign" -> (Queries.qDocTileAssign _),
     "q_doc_geom_cells" -> (Queries.qDocGeomCells _),
+    "q_doc_geom_cells_s2" -> (Queries.qDocGeomCellsS2 _),
     "q_doc_tile_spatial" -> (Queries.qDocTileSpatial _),
     "q_media_features" -> (Queries.qMediaFeatures _),
   )
@@ -185,6 +186,7 @@ object SparkEntry {
       "q_doc_spans" -> Oracles.docSpans,
       "q_doc_tile_assign" -> Oracles.docTileAssign,
       "q_doc_geom_cells" -> Oracles.docGeomCells,
+      "q_doc_geom_cells_s2" -> Oracles.docGeomCellsS2,
       "q_doc_tile_spatial" -> Oracles.docTileSpatial,
       // q_media_features, q_reproject_match: rows-only (spec-checked)
     )

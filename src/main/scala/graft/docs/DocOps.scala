@@ -140,6 +140,89 @@ object DocOps {
           .bitwiseOR(lit(level.toLong)).as("cell_id"))
   }
 
+  /** S2-style cell cover of each doc geometry (the north_rule's "H3 AND S2
+    * cell covers"): the lon/lat bbox is lattice-sampled `samples` x
+    * `samples` and each sample's spherical cell collected DISTINCT. The
+    * cover is complete when the lattice step is at most half the minimum
+    * cell angular extent (~38.2°/2^level) — callers size (level, samples)
+    * from the maximum geometry extent; the fixture uses level 7 / 9 samples
+    * for ≤0.8° boxes (step ≤0.1° vs half-min-cell 0.15°). A sliver-free
+    * subdivision cover is the production refinement; the lattice keeps the
+    * DuckDB oracle exactly mirrorable. */
+  def geomCellCoverS2(docsSpans: DataFrame, grid: GridRef, level: Int,
+                      samples: Int = 9): DataFrame = {
+    val geomSpan = element_at(filter(col("spans"),
+      s => s.getField("text").startsWith("geom:")), 1).getField("text")
+    val px = docsSpans.select(col("doc_id"), geomSpan.as("g"))
+      .withColumn("nums", split(
+        substring_index(substring_index(col("g"), "(", -1), ")", 1), " "))
+      .withColumn("c0", element_at(col("nums"), 1).cast("double"))
+      .withColumn("r0", element_at(col("nums"), 2).cast("double"))
+      .withColumn("c1", element_at(col("nums"), 3).cast("double"))
+      .withColumn("r1", element_at(col("nums"), 4).cast("double"))
+    val t = grid.transform
+    val xMin = lit(t.a) * col("c0") + lit(t.c)
+    val xMax = lit(t.a) * col("c1") + lit(t.c)
+    val yMax = lit(t.e) * col("r0") + lit(t.f)
+    val yMin = lit(t.e) * col("r1") + lit(t.f)
+    val corners = Seq((xMin, yMin), (xMin, yMax), (xMax, yMin), (xMax, yMax))
+      .map { case (x, y) => WarpOps.inverseColumns(grid.crs, x, y) }
+    val lonMin = least(corners.map(_._1): _*)
+    val lonMax = greatest(corners.map(_._1): _*)
+    val latMin = least(corners.map(_._2): _*)
+    val latMax = greatest(corners.map(_._2): _*)
+    val k = (samples - 1).toDouble
+    val lattice = px
+      .select(col("doc_id"), lonMin.as("lon_min"), lonMax.as("lon_max"),
+              latMin.as("lat_min"), latMax.as("lat_max"))
+      .select(col("*"), explode(sequence(lit(0), lit(samples - 1))).as("i"))
+      .select(col("*"), explode(sequence(lit(0), lit(samples - 1))).as("j"))
+      .select(col("doc_id"),
+        (col("lon_min") + (col("lon_max") - col("lon_min")) *
+          (col("i").cast("double") / lit(k))).as("lon"),
+        (col("lat_min") + (col("lat_max") - col("lat_min")) *
+          (col("j").cast("double") / lit(k))).as("lat"))
+    lattice
+      .select(col("doc_id"), Cells.s2CellIdColumn(col("lon"), col("lat"), level).as("cell_id"))
+      .distinct()
+  }
+
+  def geomCellCoverS2Sql(table: String, grid: GridRef, level: Int,
+                         samples: Int = 9): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    def inv(xE: String, yE: String): (String, String) = {
+      val lat = s"(($yE) / $r) / ${WarpOps.D2R}"
+      val lon = s"(($xE) / ($r * COS(($yE) / $r))) / ${WarpOps.D2R} + $lon0"
+      (lon, lat)
+    }
+    val c0 = s"CAST((doc_id * 7) % 180 AS DOUBLE)"
+    val r0 = s"CAST((doc_id * 13) % 180 AS DOUBLE)"
+    val c1 = s"($c0 + 12)"; val r1 = s"($r0 + 12)"
+    val xMin = s"${t.a} * $c0 + ${t.c}"; val xMax = s"${t.a} * $c1 + ${t.c}"
+    val yMax = s"${t.e} * $r0 + ${t.f}"; val yMin = s"${t.e} * $r1 + ${t.f}"
+    val corners = Seq((xMin, yMin), (xMin, yMax), (xMax, yMin), (xMax, yMax)).map((inv _).tupled)
+    val lonMin = s"LEAST(${corners.map(_._1).mkString(", ")})"
+    val lonMax = s"GREATEST(${corners.map(_._1).mkString(", ")})"
+    val latMin = s"LEAST(${corners.map(_._2).mkString(", ")})"
+    val latMax = s"GREATEST(${corners.map(_._2).mkString(", ")})"
+    val k = (samples - 1).toDouble
+    val lattice =
+      s"""SELECT doc_id,
+         |  lon_min + (lon_max - lon_min) * (CAST(i.i AS DOUBLE) / $k) AS lon,
+         |  lat_min + (lat_max - lat_min) * (CAST(j.j AS DOUBLE) / $k) AS lat
+         |FROM (SELECT doc_id, $lonMin AS lon_min, $lonMax AS lon_max,
+         |             $latMin AS lat_min, $latMax AS lat_max FROM $table) b,
+         |     generate_series(0, ${samples - 1}) i(i),
+         |     generate_series(0, ${samples - 1}) j(j)""".stripMargin
+    s"""SELECT DISTINCT doc_id, cell_id FROM (
+       |${Cells.s2CellIdSql(lattice, "lon", "lat", level, Seq("doc_id"))}
+       |) ORDER BY doc_id, cell_id""".stripMargin
+  }
+
   def geomCellCoverSql(table: String, grid: GridRef, level: Int): String = {
     val t = grid.transform
     val (r, lon0) = grid.crs.proj match {
