@@ -55,24 +55,30 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val p = path(new CaseInsensitiveStringMap(properties))
-    val (grid, tileSize) = TileIO.readGrid(SparkSession.active, p)
+    val opts = new CaseInsensitiveStringMap(properties)
+    val p = path(opts)
+    // a store being CREATED has no sidecar yet: take the grid from options
+    val (grid, tileSize) =
+      try TileIO.readGrid(SparkSession.active, p)
+      catch { case _: Exception => GraftWrite.gridFromOptions(opts.get) }
     new GraftTable(p, grid, tileSize, GraftDataSource.isDatasetStore(p))
   }
 }
 
 object GraftDataSource {
+  // nullable=true so arbitrary (possibly-nullable) pixel plans resolve
+  // against the table on the WRITE path; the scan itself never emits nulls
   val PixelSchema: StructType = StructType(Seq(
-    StructField("row", LongType, nullable = false),
-    StructField("col", LongType, nullable = false),
-    StructField("x", DoubleType, nullable = false),
-    StructField("y", DoubleType, nullable = false),
-    StructField("value", LongType, nullable = false)))
+    StructField("row", LongType, nullable = true),
+    StructField("col", LongType, nullable = true),
+    StructField("x", DoubleType, nullable = true),
+    StructField("y", DoubleType, nullable = true),
+    StructField("value", LongType, nullable = true)))
 
   /** Multi-variable (TileIO.writeDatasetTiles) stores add the var_name
     * partition column. */
   val DatasetSchema: StructType =
-    StructType(StructField("var_name", StringType, nullable = false) +: PixelSchema.fields)
+    StructType(StructField("var_name", StringType, nullable = true) +: PixelSchema.fields)
 
   /** A dataset store keeps its tiles under var_name=<v>/ partition dirs. */
   def isDatasetStore(path: String): Boolean = {
@@ -103,14 +109,20 @@ object GraftDataSource {
 }
 
 class GraftTable(path: String, grid: GridRef, tileSize: Int, isDataset: Boolean)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType =
     if (isDataset) GraftDataSource.DatasetSchema else GraftDataSource.PixelSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+                    TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, grid, tileSize, isDataset)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(path, info)
 }
 
 /** Folds top-level row/col range conjuncts into a pixel window (handled
@@ -139,6 +151,10 @@ class GraftScanBuilder(path: String, grid: GridRef, tileSize: Int, isDataset: Bo
       case LessThanOrEqual(a, _) => a == "row" || a == "col"
       case EqualTo(a, _) => a == "row" || a == "col" || (a == "var_name" && isDataset)
       case In(a, _) => a == "var_name" && isDataset
+      // the scan never emits nulls (schema is nullable only so write plans
+      // resolve) — IsNotNull is vacuously true and consumed here, otherwise
+      // it survives as a residual and drags its column into the projection
+      case IsNotNull(_) => true
       case _ => false
     }
     accepted.foreach {

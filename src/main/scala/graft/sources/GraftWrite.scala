@@ -1,0 +1,233 @@
+package graft.sources
+
+import graft.core.{Affine, Cells, Crs, GridRef}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+import scala.collection.mutable
+
+/** DSv2 write path for tile stores — `df.write.format("graft")
+  * .mode("overwrite").option(...).save(path)` over the canonical pixel
+  * schema.
+  *
+  * Distribution contract: a tile must arrive wholly inside ONE task (e.g.
+  * `df.repartition(expr("row div ts"), expr("col div ts"))`, or any
+  * tile-clustered upstream like TileIO's own layouts). The contract is not
+  * trusted — it is ENFORCED by the commit protocol: every task stages its
+  * file under _staging-<queryId>/ and reports per-tile pixel counts in its
+  * commit message; the driver commit verifies every expected tile appears
+  * exactly once with exactly tileSize^2 pixels before atomically swapping
+  * the staged files in and writing the _grid sidecar. Any violation (or a
+  * failed task) aborts and removes the staging directory — a torn store is
+  * never visible to readers. This is the same per-bucket-lineage idea as
+  * runtime.Checkpoint, expressed through Spark's native BatchWrite
+  * interfaces. */
+object GraftWrite {
+
+  /** Parquet schema matching TileIO.writeTiles' layout (standard 3-level
+    * LIST so Spark's own reader and the GraftPartitionReader both read it). */
+  def tileSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message tile {
+      |  required int64 tile_row;
+      |  required int64 tile_col;
+      |  optional group data (LIST) {
+      |    repeated group list {
+      |      optional double element;
+      |    }
+      |  }
+      |  required int64 cell_id;
+      |  required int64 hilbert;
+      |  required int32 h;
+      |  required int32 w;
+      |}""".stripMargin)
+
+  def gridSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message grid {
+      |  required binary crs (UTF8);
+      |  required double ta; required double tb; required double tc;
+      |  required double td; required double te; required double tf;
+      |  required int32 width; required int32 height;
+      |  required double nodata; required int32 tile_size;
+      |}""".stripMargin)
+
+  /** Grid parsed from writer options (a fresh store has no sidecar yet). */
+  def gridFromOptions(get: String => String): (GridRef, Int) = {
+    def req(k: String): String = {
+      val v = get(k)
+      require(v != null, s"graft write requires option '$k' " +
+        "(crs, transform, width, height, nodata, tile_size)")
+      v
+    }
+    (GridRef(Crs.parse(req("crs")), Affine.fromGdal(req("transform")),
+       req("width").toInt, req("height").toInt, req("nodata").toDouble),
+     req("tile_size").toInt)
+  }
+}
+
+case class GraftCommitMessage(file: String, tileCounts: Map[(Long, Long), Long])
+    extends WriterCommitMessage
+
+class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+
+  override def build(): Write = {
+    val names = info.schema().fieldNames.toSeq
+    require(Seq("row", "col", "value").forall(names.contains),
+      s"graft write needs (row, col, value) columns, got $names")
+    require(truncating, "graft write supports mode(\"overwrite\") (full-store swap) only")
+    val (grid, ts) = GraftWrite.gridFromOptions(info.options.get)
+    new GraftWriteImpl(path, grid, ts, info.schema(), info.queryId())
+  }
+}
+
+class GraftWriteImpl(path: String, grid: GridRef, ts: Int,
+                     schema: StructType, queryId: String) extends Write {
+  override def toBatch: BatchWrite = new GraftBatchWrite(path, grid, ts, schema, queryId)
+}
+
+class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
+                      schema: StructType, queryId: String) extends BatchWrite {
+  private def staging = new Path(path, s"_staging-$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftWriterFactory(path, staging.toString, grid, ts,
+      schema.fieldIndex("row"), schema.fieldIndex("col"), schema.fieldIndex("value"))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
+    // enforce the clustering contract: every tile exactly once, exactly full
+    val full = ts.toLong * ts
+    val nTx = (grid.width + ts - 1) / ts
+    val nTy = (grid.height + ts - 1) / ts
+    val seen = mutable.Map.empty[(Long, Long), Long]
+    msgs.foreach(_.tileCounts.foreach { case (k, n) =>
+      require(!seen.contains(k),
+        s"tile $k written by more than one task — input is not tile-clustered; " +
+          s"repartition by (row div $ts, col div $ts) before writing")
+      seen(k) = n
+    })
+    seen.foreach { case (k, n) =>
+      require(n == full, s"tile $k has $n of $full pixels — sparse input")
+    }
+    require(seen.size == nTx.toLong * nTy,
+      s"store incomplete: ${seen.size} of ${nTx.toLong * nTy} tiles written")
+    val conf = new Configuration()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    // swap: drop old data files + sidecar, promote staged files
+    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
+      if (s.isFile || s.getPath.getName == "_grid" ||
+          s.getPath.getName.startsWith("var_name="))
+        if (!s.getPath.getName.startsWith("_staging-")) fs.delete(s.getPath, true)
+    }
+    msgs.filter(_.file != null).foreach { m =>
+      val f = new Path(m.file)
+      fs.rename(f, new Path(root, f.getName))
+    }
+    fs.delete(staging, true)
+    // grid sidecar
+    val gridDir = new Path(root, "_grid")
+    fs.mkdirs(gridDir)
+    val w = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+          new Path(gridDir, "part-grid.parquet"), conf))
+      .withType(GraftWrite.gridSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(GraftWrite.gridSchema)
+    val t = grid.transform
+    val g = gf.newGroup()
+      .append("crs", grid.crs.key)
+      .append("ta", t.a).append("tb", t.b).append("tc", t.c)
+      .append("td", t.d).append("te", t.e).append("tf", t.f)
+      .append("width", grid.width).append("height", grid.height)
+      .append("nodata", grid.nodata).append("tile_size", ts)
+    w.write(g); w.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = staging.getFileSystem(conf)
+    fs.delete(staging, true)
+  }
+}
+
+case class GraftWriterFactory(path: String, staging: String, grid: GridRef, ts: Int,
+                              rowIdx: Int, colIdx: Int, valIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(staging, grid, ts, rowIdx, colIdx, valIdx, partitionId, taskId)
+}
+
+/** Accumulates this task's tiles in memory (a task owns whole tiles under
+  * the clustering contract — memory is O(tiles-per-task * ts^2), the same
+  * working set any dense tile writer needs), stages ONE parquet file on
+  * commit, reports per-tile counts. */
+class GraftDataWriter(staging: String, grid: GridRef, ts: Int,
+                      rowIdx: Int, colIdx: Int, valIdx: Int,
+                      partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tiles = mutable.Map.empty[(Long, Long), (Array[Double], Array[Long])]
+
+  override def write(r: InternalRow): Unit = {
+    val row = r.getLong(rowIdx); val col = r.getLong(colIdx)
+    val v = r.getLong(valIdx).toDouble
+    val k = (row / ts, col / ts)
+    val (data, cnt) = tiles.getOrElseUpdate(k,
+      (new Array[Double](ts * ts), new Array[Long](1)))
+    data(((row % ts) * ts + col % ts).toInt) = v
+    cnt(0) += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (tiles.isEmpty) return GraftCommitMessage(null, Map.empty)
+    val conf = new Configuration()
+    val file = new Path(staging, f"part-$partitionId%05d-$taskId.parquet")
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withType(GraftWrite.tileSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(GraftWrite.tileSchema)
+    val t = grid.transform
+    // Hilbert-sorted within the task file so row-group stats stay tight
+    val ordered = tiles.toSeq.sortBy { case ((tr, tc), _) =>
+      Cells.hilbertOfCell(cellOf(tr, tc))
+    }
+    ordered.foreach { case ((tr, tc), (data, _)) =>
+      val g = factory.newGroup()
+        .append("tile_row", tr).append("tile_col", tc)
+      val list = g.addGroup("data")
+      var i = 0
+      while (i < data.length) { list.addGroup("list").append("element", data(i)); i += 1 }
+      val cid = cellOf(tr, tc)
+      g.append("cell_id", cid).append("hilbert", Cells.hilbertOfCell(cid))
+        .append("h", ts).append("w", ts)
+      writer.write(g)
+    }
+    writer.close()
+    GraftCommitMessage(file.toString, tiles.map { case (k, (_, cnt)) => k -> cnt(0) }.toMap)
+  }
+
+  private def cellOf(tr: Long, tc: Long): Long = {
+    val t = grid.transform
+    val cx = t.a * (tc * ts + ts / 2.0) + t.c
+    val cy = t.e * (tr * ts + ts / 2.0) + t.f
+    val (lon, lat) = grid.crs.proj.inverse(cx, cy)
+    Cells.cellId(lon, lat, TileIO.CellLevel)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

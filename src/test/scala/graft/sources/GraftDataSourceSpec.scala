@@ -86,6 +86,36 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(none == 0)
   }
 
+  test("DSv2 write: commit swaps a complete store in; clustering contract enforced") {
+    import org.apache.spark.sql.functions.expr
+    val g = Synth.modisGrid
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString + "/w1"
+    def opts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+      w.option("crs", g.crs.key).option("transform", g.transform.toGdal)
+        .option("width", "200").option("height", "200")
+        .option("nodata", "-28672.0").option("tile_size", "50")
+    val px = Synth.pixels(spark, g)
+    opts(px.repartition(expr("row div 50"), expr("col div 50"))
+      .write.format("graft").mode("overwrite")).save(dir)
+    // both read paths see the identical store
+    val viaDsv2 = spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet
+    val viaTileIO = TileIO.readPixels(spark, dir).df.collect().map(_.toSeq).toSet
+    val direct = px.collect().map(_.toSeq).toSet
+    assert(viaDsv2.size == 200 * 200 && viaDsv2 == direct && viaTileIO == direct)
+    // grid sidecar round-trips
+    val (grid2, ts2) = TileIO.readGrid(spark, dir)
+    assert(grid2 == g && ts2 == 50)
+    // a non-tile-clustered write must be REJECTED at commit (tiles split
+    // across tasks), and the failed write must not corrupt the store
+    val bad = intercept[Exception] {
+      opts(px.repartition(32, org.apache.spark.sql.functions.col("row"))
+        .write.format("graft").mode("overwrite")).save(dir)
+    }
+    assert(bad.getMessage != null)
+    val after = spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet
+    assert(after == direct, "aborted write must leave the old store intact")
+  }
+
   test("column pruning reaches the reader and residual filters still apply") {
     val df = spark.read.format("graft").load(store)
       .filter(col("row") === 7 && col("value") > 0)
