@@ -122,6 +122,73 @@ object TileWarp {
       (tr, tc, tiles) => renderTileBilinear(tr, tc, tiles, srcR.grid, dst, ts,
                                             dst.nodata))
 
+  /** Cubic (Keys a=-0.5) over packed tiles: 4x4 neighbourhood halo via +3
+    * cover margin; weights share WarpOps' exact literal/op-order (scalar
+    * sibling), so output is bit-identical to the exploded cubic. */
+  def reprojectCubicTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] =
+    warpPacked(pack(srcR, ts), srcR.grid, dst, ts, CoverMarginPx + 3,
+      (tr, tc, tiles) => renderTileKernel(tr, tc, tiles, srcR.grid, dst, ts,
+        dst.nodata, taps = -1 to 2,
+        (t, off) => WarpOps.cubicWeightScalar(t, off)))
+
+  /** Shared separable-kernel render: taps x taps gather around
+    * (floor(p-0.5)), weight(t, off) per axis, any missing/nodata tap ->
+    * nodata, interp = sum_dr wy*(sum_dc wx*v) in tap order (the exploded
+    * paths' exact fold order). */
+  private def renderTileKernel(dtRow: Long, dtCol: Long, tiles: Array[SrcFrag],
+                               src: GridRef, dst: GridRef, ts: Int, nodata: Double,
+                               taps: Range,
+                               weight: (Double, Int) => Double): Array[Double] = {
+    val out = Array.fill(ts * ts)(nodata)
+    if (tiles.isEmpty) return out
+    val tr0 = tiles.map(_.st_row).min; val tr1 = tiles.map(_.st_row).max
+    val tc0 = tiles.map(_.st_col).min; val tc1 = tiles.map(_.st_col).max
+    val lut = Array.ofDim[SrcFrag]((tr1 - tr0 + 1).toInt, (tc1 - tc0 + 1).toInt)
+    tiles.foreach(t => lut((t.st_row - tr0).toInt)((t.st_col - tc0).toInt) = t)
+    def fetch(sr: Long, sc: Long): Double = {
+      if (sr < 0 || sr >= src.height || sc < 0 || sc >= src.width) return Double.NaN
+      val str = Math.floorDiv(sr, ts); val stc = Math.floorDiv(sc, ts)
+      if (str < tr0 || str > tr1 || stc < tc0 || stc > tc1) return Double.NaN
+      val f = lut((str - tr0).toInt)((stc - tc0).toInt)
+      if (f == null) return Double.NaN
+      val lr = Math.floorMod(sr, ts).toInt - f.lr0
+      val lc = Math.floorMod(sc, ts).toInt - f.lc0
+      if (lr < 0 || lc < 0 || lc >= f.w || lr >= f.frag.length / f.w) Double.NaN
+      else f.frag(lr * f.w + lc)
+    }
+    var v = 0
+    while (v < ts) {
+      val r = dtRow * ts + v
+      if (r < dst.height) {
+        var u = 0
+        while (u < ts) {
+          val c = dtCol * ts + u
+          if (c < dst.width) {
+            val (pxv, pyv) = srcPixelScalar(src, dst, r, c)
+            val fx = pxv - 0.5; val fy = pyv - 0.5
+            val c0 = math.floor(fx).toLong; val r0 = math.floor(fy).toLong
+            val tx = fx - math.floor(fx); val ty = fy - math.floor(fy)
+            var bad = false
+            val vals = taps.map { dr => taps.map { dc =>
+              val x = fetch(r0 + dr, c0 + dc)
+              if (x.isNaN || x == nodata) bad = true
+              x
+            }}
+            if (!bad)
+              out(v * ts + u) = taps.zipWithIndex.map { case (dr, i) =>
+                weight(ty, dr) * taps.zipWithIndex.map { case (dc, j) =>
+                  weight(tx, dc) * vals(i)(j)
+                }.reduce(_ + _)
+              }.reduce(_ + _)
+          }
+          u += 1
+        }
+      }
+      v += 1
+    }
+    out
+  }
+
   private def warpPacked(srcTiles: DataFrame, src: GridRef,
                          dst: GridRef, ts: Int, marginPx: Long,
                          render: (Long, Long, Array[SrcFrag]) => Array[Double]):

@@ -395,6 +395,15 @@ object WarpOps {
     case 1  => ((lit(CubicA + 2.0) * (lit(1.0d) - t) - lit(CubicA + 3.0)) * (lit(1.0d) - t)) * (lit(1.0d) - t) + lit(1.0d)
     case 2  => ((lit(CubicA) * (lit(2.0d) - t) - lit(5.0 * CubicA)) * (lit(2.0d) - t) + lit(8.0 * CubicA)) * (lit(2.0d) - t) - lit(4.0 * CubicA)
   }
+  /** Scalar sibling of [[cubicW]] with identical literal values and op
+    * order (used by the tile-native cubic kernel for bit-identity). */
+  def cubicWeightScalar(t: Double, off: Int): Double = off match {
+    case -1 => ((CubicA * (t + 1.0) - 5.0 * CubicA) * (t + 1.0) + 8.0 * CubicA) * (t + 1.0) - 4.0 * CubicA
+    case 0  => (((CubicA + 2.0) * t - (CubicA + 3.0)) * t) * t + 1.0
+    case 1  => (((CubicA + 2.0) * (1.0 - t) - (CubicA + 3.0)) * (1.0 - t)) * (1.0 - t) + 1.0
+    case 2  => ((CubicA * (2.0 - t) - 5.0 * CubicA) * (2.0 - t) + 8.0 * CubicA) * (2.0 - t) - 4.0 * CubicA
+  }
+
   private def cubicWSql(tE: String, off: Int): String = off match {
     case -1 => s"((($CubicA * (($tE) + 1.0) - ${5.0 * CubicA}) * (($tE) + 1.0) + ${8.0 * CubicA}) * (($tE) + 1.0) - ${4.0 * CubicA})"
     case 0  => s"(((${CubicA + 2.0} * ($tE) - ${CubicA + 3.0}) * ($tE)) * ($tE) + 1.0)"

@@ -47,6 +47,25 @@ class TileWarpSpec extends SparkTestBase {
     assert(diffs == 0, s"$diffs pixels differ between tile and pixel bilinear paths")
   }
 
+  test("tile-native cubic warp == exploded cubic (bit-identical doubles)") {
+    val src = Raster(Synth.pixels(spark, modis), modis)
+    val dst = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
+    val pixelPath = WarpOps.reprojectCubic(src, dst).df
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val tilePath = TileWarp.toPixels(
+        TileWarp.reprojectCubicTiles(src, dst, ts = 40), dst, ts = 40, asLong = false)
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(tilePath.size == pixelPath.size)
+    var diffs = 0
+    pixelPath.foreach { case (k, v) =>
+      if (java.lang.Double.doubleToLongBits(tilePath(k)) !=
+          java.lang.Double.doubleToLongBits(v)) diffs += 1
+    }
+    assert(diffs == 0, s"$diffs pixels differ between tile and pixel cubic paths")
+  }
+
   test("tile warp gathers source tiles via an equi-join (no cartesian)") {
     val src = Raster(Synth.pixels(spark, modis), modis)
     val dst = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
