@@ -119,8 +119,9 @@ object TileWarp {
     * arithmetic term-for-term (bit-identical output, TileWarpSpec). */
   def reprojectBilinearTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] =
     warpPacked(pack(srcR, ts), srcR.grid, dst, ts, CoverMarginPx + 2,
-      (tr, tc, tiles) => renderTileBilinear(tr, tc, tiles, srcR.grid, dst, ts,
-                                            dst.nodata))
+      (tr, tc, tiles) => renderTileKernel(tr, tc, tiles, srcR.grid, dst, ts,
+        dst.nodata, taps = 0 to 1,
+        (t, off) => if (off == 0) 1.0 - t else t))
 
   /** Cubic (Keys a=-0.5) over packed tiles: 4x4 neighbourhood halo via +3
     * cover margin; weights share WarpOps' exact literal/op-order (scalar
@@ -291,59 +292,6 @@ object TileWarp {
                 }
               }
             }
-          }
-          u += 1
-        }
-      }
-      v += 1
-    }
-    out
-  }
-
-  /** Bilinear render kernel — term-for-term mirror of
-    * WarpOps.reprojectBilinear (fx = round9(px) - 0.5, 2x2 gather, any
-    * missing/nodata neighbour -> nodata, identical weight expression). */
-  private def renderTileBilinear(dtRow: Long, dtCol: Long, tiles: Array[SrcFrag],
-                                 src: GridRef, dst: GridRef, ts: Int,
-                                 nodata: Double): Array[Double] = {
-    val out = Array.fill(ts * ts)(nodata)
-    if (tiles.isEmpty) return out
-    val tr0 = tiles.map(_.st_row).min; val tr1 = tiles.map(_.st_row).max
-    val tc0 = tiles.map(_.st_col).min; val tc1 = tiles.map(_.st_col).max
-    val lut = Array.ofDim[SrcFrag]((tr1 - tr0 + 1).toInt, (tc1 - tc0 + 1).toInt)
-    tiles.foreach(t => lut((t.st_row - tr0).toInt)((t.st_col - tc0).toInt) = t)
-    // NaN = neighbour unavailable (outside grid or not gathered)
-    def fetch(sr: Long, sc: Long): Double = {
-      if (sr < 0 || sr >= src.height || sc < 0 || sc >= src.width) return Double.NaN
-      val str = Math.floorDiv(sr, ts); val stc = Math.floorDiv(sc, ts)
-      if (str < tr0 || str > tr1 || stc < tc0 || stc > tc1) return Double.NaN
-      val f = lut((str - tr0).toInt)((stc - tc0).toInt)
-      if (f == null) return Double.NaN
-      val lr = Math.floorMod(sr, ts).toInt - f.lr0
-      val lc = Math.floorMod(sc, ts).toInt - f.lc0
-      if (lr < 0 || lc < 0 || lc >= f.w || lr >= f.frag.length / f.w) Double.NaN
-      else f.frag(lr * f.w + lc)
-    }
-    var v = 0
-    while (v < ts) {
-      val r = dtRow * ts + v
-      if (r < dst.height) {
-        var u = 0
-        while (u < ts) {
-          val c = dtCol * ts + u
-          if (c < dst.width) {
-            val (pxv, pyv) = srcPixelScalar(src, dst, r, c)
-            val fx = pxv - 0.5; val fy = pyv - 0.5
-            val c0 = math.floor(fx).toLong; val r0 = math.floor(fy).toLong
-            val wx = fx - math.floor(fx); val wy = fy - math.floor(fy)
-            val v00 = fetch(r0, c0); val v01 = fetch(r0, c0 + 1)
-            val v10 = fetch(r0 + 1, c0); val v11 = fetch(r0 + 1, c0 + 1)
-            val bad = v00.isNaN || v01.isNaN || v10.isNaN || v11.isNaN ||
-              v00 == nodata || v01 == nodata || v10 == nodata || v11 == nodata
-            if (!bad)
-              out(v * ts + u) =
-                (1.0 - wy) * ((1.0 - wx) * v00 + wx * v01) +
-                  wy * ((1.0 - wx) * v10 + wx * v11)
           }
           u += 1
         }
