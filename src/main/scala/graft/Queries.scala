@@ -642,6 +642,9 @@ object Queries {
     def reprojectNearest: String =
       WarpOps.nearestSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
 
+    def reprojectMatch: String =
+      WarpOps.nearestSinuFromTmSql(modis, Synth.matchUtmGrid, pxSrcSql)
+
     def reprojectBilinear: String =
       WarpOps.bilinearSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
 

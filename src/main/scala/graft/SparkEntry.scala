@@ -135,7 +135,7 @@ object SparkEntry {
       "q_reproject_cubic" -> Oracles.reprojectCubic,
       "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
-      // q_reproject_match: no SQL oracle (TM series); exact-checked in WarpSpec
+      "q_reproject_match" -> Oracles.reprojectMatch,
       // tile-native kernel answers to the SAME oracle as the pixel path
       "q_reproject_tiled" -> Oracles.reprojectNearest,
       "q_reproject_tiled_bilinear" -> Oracles.reprojectBilinear,

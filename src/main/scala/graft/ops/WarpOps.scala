@@ -343,6 +343,90 @@ object WarpOps {
        |ORDER BY k.row, k.col""".stripMargin
   }
 
+  /** SQL oracle for reproject_match: sinusoidal source sampled onto a
+    * transverse-Mercator destination. The Karney inverse series + the
+    * isometric-latitude fixed point unroll into plain SQL; DuckDB has no
+    * hyperbolic builtins, so sinh/cosh/tanh/asinh/atanh are written in their
+    * EXP/LN forms. The composites differ from the JVM natives by a few ulp,
+    * which the ROUND(px, 9) key guard absorbs (a floor flip needs the true
+    * pixel coordinate within ~1e-11 of an integer — measure ~1e-7 over the
+    * whole grid). The 8 fixed-point iterations are staged as CTE columns
+    * (inline nesting would double the text per iteration). */
+  def nearestSinuFromTmSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+    val tm = dst.crs.proj match {
+      case t: TransverseMercator => t
+      case p => throw new IllegalArgumentException(s"oracle needs TM dst, got $p")
+    }
+    val (r, sLon0) = src.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
+    }
+    val f = tm.flat
+    val e = math.sqrt(f * (2.0 - f))
+    val n = f / (2.0 - f)
+    val n2 = n * n; val n3 = n2 * n; val n4 = n3 * n; val n5 = n4 * n; val n6 = n5 * n
+    val bigA = tm.aAxis / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0)
+    val beta = Array(
+      n / 2.0 - 2.0 * n2 / 3.0 + 37.0 * n3 / 96.0 - n4 / 360.0 - 81.0 * n5 / 512.0 + 96199.0 * n6 / 604800.0,
+      n2 / 48.0 + n3 / 15.0 - 437.0 * n4 / 1440.0 + 46.0 * n5 / 105.0 - 1118711.0 * n6 / 3870720.0,
+      17.0 * n3 / 480.0 - 37.0 * n4 / 840.0 - 209.0 * n5 / 4480.0 + 5569.0 * n6 / 90720.0,
+      4397.0 * n4 / 161280.0 - 11.0 * n5 / 504.0 - 830251.0 * n6 / 7257600.0,
+      4583.0 * n5 / 161280.0 - 108847.0 * n6 / 3991680.0,
+      20648693.0 * n6 / 638668800.0)
+    val k0A = tm.k0 * bigA
+    // EXP/LN hyperbolics
+    def sh(x: String) = s"((EXP($x) - EXP(-($x))) / 2.0)"
+    def ch(x: String) = s"((EXP($x) + EXP(-($x))) / 2.0)"
+    def th(x: String) = s"((EXP(2.0*($x)) - 1.0) / (EXP(2.0*($x)) + 1.0))"
+    def ash(x: String) = s"LN(($x) + SQRT(($x)*($x) + 1.0))"
+    def ath(x: String) = s"(0.5 * LN((1.0 + ($x)) / (1.0 - ($x))))"
+    val t = dst.transform; val s = src.transform
+    val corrXi = (1 to 6).map { j =>
+      s"- ${beta(j - 1)} * SIN(${2.0 * j} * xi) * ${ch(s"${2.0 * j} * eta")}"
+    }.mkString(" ")
+    val corrEta = (1 to 6).map { j =>
+      s"- ${beta(j - 1)} * COS(${2.0 * j} * xi) * ${sh(s"${2.0 * j} * eta")}"
+    }.mkString(" ")
+    val fpStages = (1 to EllipsoidMath.InvIterations).map { k =>
+      s"s$k AS (SELECT *, ${th(s"psi + $e * ${ath(s"$e * sphi${k - 1}")}")} AS sphi$k FROM s${k - 1})"
+    }.mkString(",\n")
+    val sphiN = s"sphi${EllipsoidMath.InvIterations}"
+    val sxE = s"$r * (((lon) - $sLon0) * $D2R) * COS((lat) * $D2R)"
+    val syE = s"$r * ((lat) * $D2R)"
+    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
+    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |pl AS (SELECT row, col,
+       |    ((${dlit(t.a)}*(CAST(col AS DOUBLE) + 0.5) + ${dlit(t.c)}) - ${tm.falseE}) / $k0A AS eta,
+       |    ((${dlit(t.e)}*(CAST(row AS DOUBLE) + 0.5) + ${dlit(t.f)}) - ${tm.falseN}) / $k0A AS xi
+       |  FROM dstpx),
+       |corr AS (SELECT *, xi $corrXi AS xip, eta $corrEta AS etap FROM pl),
+       |tri AS (SELECT *, ${sh("etap")} AS sheta, COS(xip) AS cosxi FROM corr),
+       |lam0 AS (SELECT *, ATAN2(sheta, cosxi) AS lam,
+       |    SIN(xip) / SQRT(sheta*sheta + cosxi*cosxi) AS taup FROM tri),
+       |s0 AS (SELECT *, ${ash("taup")} AS psi, ${th(ash("taup"))} AS sphi0 FROM lam0),
+       |$fpStages,
+       |ll AS (SELECT row, col,
+       |    lam / $D2R + ${tm.lon0Deg} AS lon,
+       |    ASIN(GREATEST(-1.0, LEAST(1.0, $sphiN))) / $D2R AS lat
+       |  FROM s${EllipsoidMath.InvIterations}),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
+       |    CAST(FLOOR($pyE) AS BIGINT) AS src_row
+       |  FROM ll),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dlit(t.a)}*(CAST(k.col AS DOUBLE) + 0.5) + ${dlit(t.c)} AS x,
+       |  ${dlit(t.e)}*(CAST(k.row AS DOUBLE) + 0.5) + ${dlit(t.f)} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
   /** SQL oracle for same-CRS nearest warps between arbitrary (incl. rotated/
     * sheared) affines — reproject_match between a rotated and a squared grid
     * (reference test_reproject_match__rotated,
