@@ -585,6 +585,40 @@ object Queries {
   object Oracles {
     private def px: String = Synth.pixelsSql(modis)
 
+    /** q_media_features oracle WITHOUT decoding bytes: the payloads are
+      * synthesized from pure integer formulas (MediaOps.synthesize), so
+      * DuckDB recomputes every feature from media_id alone — which gates the
+      * REAL pipeline (binary BMP/WAV encode -> parse -> feature kernel)
+      * against an independent arithmetic model: any codec bug breaks the
+      * hash match. */
+    def mediaFeatures: String =
+      s"""WITH m AS (SELECT i AS media_id FROM generate_series(0, 499) t(i)),
+         |imgpx AS (
+         |  SELECT m.media_id, (16 + m.media_id % 16) AS w, (16 + m.media_id % 12) AS h, g.i
+         |  FROM m, generate_series(0, 866) g(i)
+         |  WHERE m.media_id % 2 = 0
+         |    AND g.i < (16 + m.media_id % 16) * (16 + m.media_id % 12)),
+         |img AS (
+         |  SELECT media_id, 'image' AS kind,
+         |    CAST(54 + ((w*3 + 3) // 4 * 4) * h AS INTEGER) AS n_bytes,
+         |    CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+         |    CAST(SUM(((media_id*31 + (i % w)*7 + (i // w)*13) % 16777216) * (i + 1)) AS BIGINT) AS checksum
+         |  FROM imgpx GROUP BY media_id, w, h),
+         |audpx AS (
+         |  SELECT m.media_id, (256 + m.media_id % 128) AS ns, g.i
+         |  FROM m, generate_series(0, 382) g(i)
+         |  WHERE m.media_id % 2 = 1 AND g.i < (256 + m.media_id % 128)),
+         |aud AS (
+         |  SELECT media_id, 'audio' AS kind,
+         |    CAST(44 + 2 * ns AS INTEGER) AS n_bytes,
+         |    CAST(ns AS INTEGER) AS width, CAST(1 AS INTEGER) AS height,
+         |    CAST(SUM(((media_id*131 + i*17) % 8192 - 4096) * (i + 1)) AS BIGINT) AS checksum
+         |  FROM audpx GROUP BY media_id, ns)
+         |SELECT media_id, kind, n_bytes, width, height, checksum FROM img
+         |UNION ALL
+         |SELECT media_id, kind, n_bytes, width, height, checksum FROM aud
+         |ORDER BY media_id""".stripMargin
+
     /** DuckDB re-statement of GridRef.windowFromBounds (floor/ceil, clamp). */
     private def winSql(g: GridRef, b: Bounds): String = {
       val t = g.transform

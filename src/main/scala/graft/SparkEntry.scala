@@ -190,7 +190,9 @@ object SparkEntry {
       "q_doc_geom_cells" -> Oracles.docGeomCells,
       "q_doc_geom_cells_s2" -> Oracles.docGeomCellsS2,
       "q_doc_tile_spatial" -> Oracles.docTileSpatial,
-      // q_media_features, q_reproject_match: rows-only (spec-checked)
+      // media: the oracle recomputes features from the synthesis formulas,
+      // gating the real binary encode->parse pipeline against arithmetic
+      "q_media_features" -> Oracles.mediaFeatures,
     )
   }
 }
