@@ -62,9 +62,12 @@ object Bench {
     // packed tiles flow merge -> warp without ever exploding to pixel rows
     // (pack = one-time layout, outside the timed region)
     val ts = math.max(40, side / 10)
+    // TileWarp.pack requires full tiles: round the tile-flagship grid side
+    // down to a ts multiple (side itself need not divide, e.g. sf0.01 -> 632)
+    val tSide = math.max(ts, side - side % ts)
     val (_, rasterTilesSec) = {
-      val aG = bigGrid
-      val bG = bigGrid.copy(transform = bigGrid.transform.windowed(side / 4.0, side / 4.0))
+      val aG = bigGrid.copy(width = tSide, height = tSide)
+      val bG = aG.copy(transform = aG.transform.windowed(tSide / 4.0, tSide / 4.0))
       val packedA = graft.ops.TileWarp.pack(
         Raster(Synth.pixels(spark, aG, parallelism = cpus.toInt * 4), aG), ts).persist()
       val packedB = graft.ops.TileWarp.pack(
@@ -86,7 +89,7 @@ object Bench {
       packedA.unpersist(); packedB.unpersist()
       r
     }
-    System.err.println(f"[bench] raster_pipeline_tiles (${side}x$side, ts=$ts): $rasterTilesSec%.2f s")
+    System.err.println(f"[bench] raster_pipeline_tiles (${tSide}x$tSide, ts=$ts): $rasterTilesSec%.2f s")
 
     // min-of-2 per query (same protocol as the flagships): the shared host
     // throttles unpredictably and an n=1 sample can be 5-10x off (the round-1

@@ -122,13 +122,23 @@ object MediaOps {
     * to the 'data' chunk). */
   def decodeWav(bytes: Array[Byte]): Array[Short] = {
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE", "not a WAV")
+    require(bytes.length >= 12 &&
+      new String(bytes, 0, 4) == "RIFF" && new String(bytes, 8, 4) == "WAVE", "not a WAV")
     var off = 12
-    while (new String(bytes, off, 4) != "data") {
-      off += 8 + b.getInt(off + 4)
-      require(off + 8 <= bytes.length, "no data chunk")
+    // bounds-check BEFORE reading each chunk header, and reject negative
+    // chunk sizes: a truncated/corrupt container fails with the intended
+    // "no data chunk", never a raw StringIndexOutOfBounds
+    def chunkTag(o: Int): String = {
+      require(o + 8 <= bytes.length, "no data chunk")
+      new String(bytes, o, 4)
+    }
+    while (chunkTag(off) != "data") {
+      val sz = b.getInt(off + 4)
+      require(sz >= 0, s"corrupt WAV chunk size $sz")
+      off += 8 + sz
     }
     val dataSize = b.getInt(off + 4)
+    require(dataSize >= 0 && off + 8 + dataSize <= bytes.length, "truncated WAV data chunk")
     Array.tabulate(dataSize / 2)(i => b.getShort(off + 8 + i * 2))
   }
 

@@ -141,6 +141,44 @@ object VectorOps {
       .drop("crossings")
   }
 
+  /** Relational all_touched test for ONE geometry — the edge-table sibling
+    * of [[touchesColumn]], used above [[EdgeUnrollLimit]] where the unrolled
+    * chain would blow the JVM 64KB codegen method limit. Broadcast edge
+    * cross-join (one geometry, |edges| rows); per (pixel, edge) the
+    * centre-crossing and square-vs-segment tests are evaluated, then one
+    * map-side-combined aggregate ORs the hits and counts the crossings.
+    * Arithmetic is identical to touchesColumn, so results are bit-equal. */
+  def touchesJoin(pixels: DataFrame, g: Geom,
+                  hx: Double, hy: Double,
+                  px: String = "x", py: String = "y"): DataFrame = {
+    val spark = pixels.sparkSession
+    val edges = geomEdgesDf(spark, Seq(("__g", g)))
+    val bb = g.bbox
+    val pruned = pixels.filter(
+      col(px) >= bb.minx - hx && col(px) <= bb.maxx + hx &&
+      col(py) >= bb.miny - hy && col(py) <= bb.maxy + hy)
+    val crossing = (col("y1") > col(py)) =!= (col("y2") > col(py)) &&
+      (col(px) < col("x1") + (col(py) - col("y1")) * col("dx") / col("dy"))
+    def f(cx: Column, cy: Column): Column =
+      col("dx") * (cy - col("y1")) - col("dy") * (cx - col("x1"))
+    val s1 = f(col(px) - hx, col(py) - hy); val s2 = f(col(px) + hx, col(py) - hy)
+    val s3 = f(col(px) - hx, col(py) + hy); val s4 = f(col(px) + hx, col(py) + hy)
+    val bboxHit = greatest(col("x1"), col("x2")) >= col(px) - hx &&
+      least(col("x1"), col("x2")) <= col(px) + hx &&
+      greatest(col("y1"), col("y2")) >= col(py) - hy &&
+      least(col("y1"), col("y2")) <= col(py) + hy
+    val oneSide = (s1 > 0 && s2 > 0 && s3 > 0 && s4 > 0) ||
+                  (s1 < 0 && s2 < 0 && s3 < 0 && s4 < 0)
+    val edgeHit = bboxHit && !oneSide
+    val keys = pixels.columns.map(col).toSeq
+    pruned.crossJoin(broadcast(edges))
+      .groupBy(keys: _*)
+      .agg(sum(when(crossing, 1).otherwise(0)).as("crossings"),
+           max(when(edgeHit, 1).otherwise(0)).as("hit"))
+      .filter(col("crossings") % 2 === 1 || col("hit") === 1)
+      .drop("crossings", "hit")
+  }
+
   /** clip (raster_array.py:763-861): mask pixels outside the geometry to
     * nodata (or inside, when invert), optionally crop to the mask's data
     * window (drop=True -> get_data_window + isel_window,
@@ -157,12 +195,17 @@ object VectorOps {
     val nod: Column = if (isLong) lit(r.grid.nodata.toLong) else lit(r.grid.nodata)
 
     val (masked, kept) =
-      if (!allTouched && g.edges.size > EdgeUnrollLimit) {
+      if (g.edges.size > EdgeUnrollLimit) {
         // relational PIP: crossing counts via broadcast edge join; inside
         // pixels come back as keys and mark the mask through a (row,col)
-        // equi-join (the only added shuffle, AQE-planned).
-        val inside = pipJoin(r.df.select("row", "col", "x", "y"), Seq(("__clip", g)))
-          .select(col("row"), col("col"), lit(1).as("_in"))
+        // equi-join (the only added shuffle, AQE-planned). all_touched gets
+        // the same treatment via touchesJoin — no unrolled cliff either way.
+        val base = r.df.select("row", "col", "x", "y")
+        val insideDf =
+          if (allTouched)
+            touchesJoin(base, g, math.abs(r.grid.resX) / 2.0, math.abs(r.grid.resY) / 2.0)
+          else pipJoin(base, Seq(("__clip", g)))
+        val inside = insideDf.select(col("row"), col("col"), lit(1).as("_in"))
         val flagged = r.df.join(inside, Seq("row", "col"), "left")
         val kp = if (invert) col("_in").isNull else col("_in").isNotNull
         (flagged.withColumn("value", when(kp, col("value")).otherwise(nod)).drop("_in"),

@@ -94,6 +94,25 @@ class Round2OpsSpec extends SparkTestBase {
     }
   }
 
+  test("500-vertex all_touched clip routes through the edge-table join and matches the geometric test") {
+    val geom = Queries.manyVertexGeom
+    assert(geom.edges.size > VectorOps.EdgeUnrollLimit)
+    val hx = math.abs(modis.resX) / 2.0; val hy = math.abs(modis.resY) / 2.0
+    val clipped = VectorOps.clipGeom(px, geom, drop = false, allTouched = true)
+    val sample = clipped.df.filter(col("row") % 5 === 1 && col("col") % 5 === 2)
+      .select("row", "col", "x", "y", "value").collect()
+    assert(sample.nonEmpty)
+    sample.foreach { r =>
+      val exp = if (touchesScala(geom, r.getDouble(2), r.getDouble(3), hx, hy))
+        synth(r.getLong(0), r.getLong(1)) else -28672L
+      assert(r.getLong(4) == exp, s"pixel (${r.getLong(0)},${r.getLong(1)})")
+    }
+    // strict superset of the centre-PIP clip on the same geometry
+    val centre = VectorOps.clipGeom(px, geom, drop = false)
+      .df.filter(col("value") =!= -28672L).count()
+    assert(clipped.df.filter(col("value") =!= -28672L).count() > centre)
+  }
+
   test("clipBoxCrs equals clipBox of the driver-transformed bounds") {
     val wgs = Queries.clipCrsWgsBounds
     val native = GridRef.transformBounds(wgs, Crs.WGS84, Crs.MODIS_SINU)
