@@ -273,7 +273,10 @@ object Crs {
     }
   }
 
-  /** Just enough WKT1 to cover the fixture files (UTM TM + geographic). */
+  /** Just enough WKT1 to cover the fixture files (UTM TM + geographic) plus
+    * the projections [[toWkt]] emits (sinusoidal, Mercator_1SP) and an
+    * AUTHORITY["EPSG", n] fallback, so every engine CRS round-trips through
+    * the CF convention's crs_wkt / spatial_ref attributes. */
   def fromWkt(wkt: String): Crs = {
     def param(name: String): Option[Double] = {
       val r = ("""PARAMETER\["""" + name + """",([-0-9.eE]+)\]""").r
@@ -288,9 +291,62 @@ object Crs {
       if (k0 == 0.9996 && fe == 500000.0 && (fn == 0.0 || fn == 10000000.0) && zone >= 1 && zone <= 60)
         fromEpsg((if (fn == 0.0) 32600 else 32700) + zone)
       else Crs(s"tmerc:lon0=$lon0:k=$k0:x0=$fe:y0=$fn", TransverseMercator(lon0, k0, fe, fn))
+    } else if (wkt.contains("\"Sinusoidal\"")) {
+      val a = """SPHEROID\["[^"]*",([-0-9.eE]+)""".r
+        .findFirstMatchIn(wkt).map(_.group(1).toDouble)
+        .getOrElse(Projection.WGS84_A)
+      val lon0 = param("longitude_of_center").getOrElse(0.0)
+      Crs(s"sinu:a=$a:lon0=$lon0", Sinusoidal(a, lon0))
+    } else if (wkt.contains("\"Mercator_1SP\"")) {
+      """AUTHORITY\["EPSG","(\d+)"\]\]\s*$""".r.findFirstMatchIn(wkt.trim) match {
+        case Some(m) => fromEpsg(m.group(1).toInt)
+        case None =>
+          val lon0 = param("central_meridian").getOrElse(0.0)
+          val k0 = param("scale_factor").getOrElse(1.0)
+          Crs(s"merc:k=$k0:lon0=$lon0", MercatorProj(k0 = k0, lon0Deg = lon0))
+      }
     } else if (wkt.toUpperCase(Locale.ROOT).startsWith("GEOGCS")) {
       Crs("epsg:4326", LongLat)
     } else throw new IllegalArgumentException("unsupported WKT CRS")
+  }
+
+  private val Wgs84Geogcs: String =
+    """GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+      """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]"""
+
+  /** WKT1 emitter for the projections the engine carries; parseable back by
+    * [[fromWkt]] (roundtrip spec-gated). The CF convention layer writes this
+    * into spatial_ref / crs_wkt, like the reference's crs.to_wkt()
+    * (_convention/cf.py:193-196). */
+  def toWkt(crs: Crs): String = crs.proj match {
+    case LongLat => Wgs84Geogcs
+    case Sinusoidal(r, lon0) =>
+      s"""PROJCS["unnamed",GEOGCS["unnamed ellipse",DATUM["unknown",SPHEROID["unnamed",$r,0]],""" +
+        s"""PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],PROJECTION["Sinusoidal"],""" +
+        s"""PARAMETER["longitude_of_center",$lon0],PARAMETER["false_easting",0],""" +
+        s"""PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    case t: TransverseMercator =>
+      val zone = math.round((t.lon0Deg + 183) / 6).toInt
+      val isUtm = t.k0 == 0.9996 && t.falseE == 500000.0 &&
+        (t.falseN == 0.0 || t.falseN == 10000000.0) && zone >= 1 && zone <= 60
+      val auth = if (isUtm)
+        s""",AUTHORITY["EPSG","${(if (t.falseN == 0.0) 32600 else 32700) + zone}"]""" else ""
+      val name = if (isUtm) s"WGS 84 / UTM zone $zone${if (t.falseN == 0.0) "N" else "S"}"
+                 else "unnamed"
+      s"""PROJCS["$name",$Wgs84Geogcs,PROJECTION["Transverse_Mercator"],""" +
+        s"""PARAMETER["central_meridian",${t.lon0Deg}],PARAMETER["scale_factor",${t.k0}],""" +
+        s"""PARAMETER["latitude_of_origin",0],PARAMETER["false_easting",${t.falseE}],""" +
+        s"""PARAMETER["false_northing",${t.falseN}],UNIT["metre",1]$auth]"""
+    case m: MercatorProj =>
+      s"""PROJCS["unnamed",$Wgs84Geogcs,PROJECTION["Mercator_1SP"],""" +
+        s"""PARAMETER["central_meridian",${m.lon0Deg}],PARAMETER["scale_factor",${m.k0}],""" +
+        s"""PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1]]"""
+    case WebMercator =>
+      s"""PROJCS["WGS 84 / Pseudo-Mercator",$Wgs84Geogcs,PROJECTION["Mercator_1SP"],""" +
+        s"""PARAMETER["central_meridian",0],PARAMETER["scale_factor",1],""" +
+        s"""PARAMETER["false_easting",0],PARAMETER["false_northing",0],UNIT["metre",1],""" +
+        s"""AUTHORITY["EPSG","3857"]]"""
+    case p => throw new IllegalArgumentException(s"no WKT emitter for $p")
   }
 
   /** Reproject a planar point between two CRS via the lon/lat pivot. */

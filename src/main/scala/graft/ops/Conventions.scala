@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.core._
+
+/** Conventions + engine options layer — the analog of the reference's
+  * pluggable metadata conventions and global options:
+  *
+  *  - [[GraftOptions]]: rioxarray/_options.py:18-109 `set_options`
+  *    (export_grid_mapping, skip_missing_spatial_dims, convention) as an
+  *    immutable options value with a scoped `withOptions` context form.
+  *  - [[CfConvention]]: rioxarray/_convention/cf.py:22-247 — read/write the
+  *    CRS (`spatial_ref`/`crs_wkt` attrs), the affine (`GeoTransform` in
+  *    GDAL string order), and the spatial-dimension naming, against a plain
+  *    attribute map so reference-shaped metadata round-trips through
+  *    [[MetadataOps.updateAttrs]] / the grid sidecar.
+  *  - `writeCoordinateSystem` (rioxarray.py:446-501): CF axis/standard_name
+  *    /units attrs for the x/y coordinates.
+  *  - `gridMapping` (rioxarray.py:180-205): resolve the grid-mapping
+  *    coordinate name, raising on multi-variable conflicts.
+  *  - [[DtypeNodata]]: the GDAL dtype → default-nodata table
+  *    (_spatial_utils.py:28-45) driving `write_nodata` defaulting.
+  *
+  * Everything here is driver-side metadata bookkeeping: zero shuffle, zero
+  * data motion, no executor involvement. */
+object Conventions {
+
+  val DefaultGridMap = "spatial_ref" // _spatial_utils.py:22 DEFAULT_GRID_MAP
+
+  // ---- set_options (rioxarray/_options.py) -------------------------------
+
+  /** Engine options value (immutable; the reference mutates a module dict). */
+  final case class GraftOptions(exportGridMapping: Boolean = true,
+                                skipMissingSpatialDims: Boolean = false,
+                                convention: String = "cf") {
+    require(convention == "cf" || convention == "zarr",
+      s"option 'convention' gave an invalid value: '$convention'")
+  }
+
+  @volatile private var current = GraftOptions()
+  def options: GraftOptions = current
+  def setOptions(o: GraftOptions): Unit = current = o
+
+  /** Context-manager form of the reference's `with set_options(...):` —
+    * restores the previous options even if `body` throws. */
+  def withOptions[A](o: GraftOptions)(body: => A): A = {
+    val old = current
+    current = o
+    try body finally current = old
+  }
+
+  // ---- CF convention (rioxarray/_convention/cf.py) ------------------------
+
+  object CfConvention {
+
+    /** write_crs (cf.py:142-204): grid-mapping attrs for a CRS + transform.
+      * With export_grid_mapping the CF grid-mapping parameter attrs are
+      * included (the engine's analog of pyproj CRS.to_cf()); spatial_ref and
+      * crs_wkt always are (GDAL compatibility, cf.py:193-196). */
+    def exportAttrs(grid: GridRef,
+                    gridMappingName: String = DefaultGridMap): Map[String, String] = {
+      val wkt = Crs.toWkt(grid.crs)
+      val base = Map(
+        s"$gridMappingName:spatial_ref" -> wkt,
+        s"$gridMappingName:crs_wkt" -> wkt,
+        s"$gridMappingName:GeoTransform" -> grid.transform.toGdal,
+        "grid_mapping" -> gridMappingName)
+      val cf = if (options.exportGridMapping) cfParams(grid.crs).map {
+        case (k, v) => s"$gridMappingName:$k" -> v
+      } else Map.empty[String, String]
+      base ++ cf
+    }
+
+    /** CF grid-mapping parameter attrs per projection (the pyproj to_cf()
+      * analog for the projections the engine carries). */
+    def cfParams(crs: Crs): Map[String, String] = crs.proj match {
+      case LongLat => Map("grid_mapping_name" -> "latitude_longitude")
+      case Sinusoidal(r, lon0) => Map(
+        "grid_mapping_name" -> "sinusoidal",
+        "longitude_of_projection_origin" -> lon0.toString,
+        "semi_major_axis" -> r.toString,
+        "semi_minor_axis" -> r.toString)
+      case t: TransverseMercator => Map(
+        "grid_mapping_name" -> "transverse_mercator",
+        "longitude_of_central_meridian" -> t.lon0Deg.toString,
+        "scale_factor_at_central_meridian" -> t.k0.toString,
+        "false_easting" -> t.falseE.toString,
+        "false_northing" -> t.falseN.toString)
+      case m: MercatorProj => Map(
+        "grid_mapping_name" -> "mercator",
+        "longitude_of_projection_origin" -> m.lon0Deg.toString,
+        "scale_factor_at_projection_origin" -> m.k0.toString)
+      case WebMercator => Map(
+        "grid_mapping_name" -> "popular_visualisation_mercator")
+      case _ => Map.empty
+    }
+
+    /** read_crs (cf.py:22-57): spatial_ref first, then crs_wkt, then the CF
+      * grid-mapping parameter attrs. */
+    def importCrs(attrs: Map[String, String],
+                  gridMappingName: String = DefaultGridMap): Option[Crs] = {
+      def attr(k: String) = attrs.get(s"$gridMappingName:$k")
+      attr("spatial_ref").orElse(attr("crs_wkt")).map(Crs.parse)
+        .orElse(fromCfParams(k => attr(k)))
+    }
+
+    private def fromCfParams(attr: String => Option[String]): Option[Crs] =
+      attr("grid_mapping_name").flatMap {
+        case "latitude_longitude" => Some(Crs.WGS84)
+        case "sinusoidal" =>
+          for (a <- attr("semi_major_axis")) yield
+            Crs.parse(s"+proj=sinu +a=$a +b=$a " +
+              s"+lon_0=${attr("longitude_of_projection_origin").getOrElse("0")}")
+        case "transverse_mercator" =>
+          Some(Crs.parse("+proj=tmerc" +
+            s" +lon_0=${attr("longitude_of_central_meridian").getOrElse("0")}" +
+            s" +k=${attr("scale_factor_at_central_meridian").getOrElse("1")}" +
+            s" +x_0=${attr("false_easting").getOrElse("0")}" +
+            s" +y_0=${attr("false_northing").getOrElse("0")}"))
+        case _ => None
+      }
+
+    /** read_transform (cf.py:59-85): the GeoTransform attribute, GDAL string
+      * order (c a b f d e). */
+    def importTransform(attrs: Map[String, String],
+                        gridMappingName: String = DefaultGridMap): Option[Affine] =
+      attrs.get(s"$gridMappingName:GeoTransform").map(Affine.fromGdal)
+
+    /** read_spatial_dimensions (cf.py:87-139): standard names first, then CF
+      * axis/standard_name coordinate attrs. `dims` are the frame's column
+      * names; per-coordinate attrs are looked up as "<dim>:<attr>". Returns
+      * (y_dim, x_dim) like the reference. */
+    def readSpatialDimensions(dims: Seq[String],
+                              attrs: Map[String, String]): Option[(String, String)] = {
+      if (dims.contains("x") && dims.contains("y")) return Some(("y", "x"))
+      if (dims.contains("longitude") && dims.contains("latitude"))
+        return Some(("latitude", "longitude"))
+      def a(dim: String, k: String) = attrs.getOrElse(s"$dim:$k", "")
+      val x = dims.find(d => a(d, "axis").toUpperCase == "X" ||
+        Set("longitude", "projection_x_coordinate")(a(d, "standard_name").toLowerCase))
+      val y = dims.find(d => a(d, "axis").toUpperCase == "Y" ||
+        Set("latitude", "projection_y_coordinate")(a(d, "standard_name").toLowerCase))
+      for (xx <- x; yy <- y) yield (yy, xx)
+    }
+  }
+
+  /** Attach reference-shaped CF metadata to a raster's attrs (the engine's
+    * write path for a CF export: the sidecar then holds exactly what the
+    * reference would put on the spatial_ref coordinate). */
+  def writeCfAttrs(r: Raster, gridMappingName: String = DefaultGridMap): Raster =
+    MetadataOps.updateAttrs(r, CfConvention.exportAttrs(r.grid, gridMappingName))
+
+  /** Re-open from CF attrs: rebuild crs + transform from the attribute map
+    * (roundtrip partner of [[writeCfAttrs]]). */
+  def readCfGrid(attrs: Map[String, String], width: Int, height: Int,
+                 nodata: Double,
+                 gridMappingName: String = DefaultGridMap): Option[GridRef] =
+    for {
+      crs <- CfConvention.importCrs(attrs, gridMappingName)
+      t <- CfConvention.importTransform(attrs, gridMappingName)
+    } yield GridRef(crs, t, width, height, nodata)
+
+  // ---- write_coordinate_system (rioxarray.py:446-501) ---------------------
+
+  /** CF coordinate-system attrs for the x/y coordinate columns, namespaced
+    * "<dim>:<attr>" in the grid attrs (the engine's coordinate-attr store). */
+  def writeCoordinateSystem(r: Raster, xDim: String = "x",
+                            yDim: String = "y"): Raster = {
+    val attrs: Map[String, String] =
+      if (!r.grid.crs.isGeographic) Map(
+        s"$xDim:axis" -> "X",
+        s"$xDim:long_name" -> "x coordinate of projection",
+        s"$xDim:standard_name" -> "projection_x_coordinate",
+        s"$xDim:units" -> "metre",
+        s"$yDim:axis" -> "Y",
+        s"$yDim:long_name" -> "y coordinate of projection",
+        s"$yDim:standard_name" -> "projection_y_coordinate",
+        s"$yDim:units" -> "metre")
+      else Map(
+        s"$xDim:axis" -> "X",
+        s"$xDim:long_name" -> "longitude",
+        s"$xDim:standard_name" -> "longitude",
+        s"$xDim:units" -> "degrees_east",
+        s"$yDim:axis" -> "Y",
+        s"$yDim:long_name" -> "latitude",
+        s"$yDim:standard_name" -> "latitude",
+        s"$yDim:units" -> "degrees_north")
+    MetadataOps.updateAttrs(r, attrs)
+  }
+
+  // ---- grid_mapping property (rioxarray.py:180-205) -----------------------
+
+  class MultipleGridMappings(msg: String) extends RuntimeException(msg)
+
+  /** Resolve the grid-mapping name for a single raster: its own attr or the
+    * default. */
+  def gridMapping(r: Raster): String =
+    r.grid.attrs.getOrElse("grid_mapping", DefaultGridMap)
+
+  /** Dataset form: each variable may carry its own grid_mapping attr; all
+    * present values must agree (rioxarray.py:192-205 raises
+    * "Multiple grid mappings exist."). */
+  def gridMappingOf(varAttrs: Map[String, Map[String, String]]): String = {
+    val found = varAttrs.values.flatMap(_.get("grid_mapping")).toSet
+    if (found.size > 1)
+      throw new MultipleGridMappings(
+        s"Multiple grid mappings exist: ${found.toSeq.sorted.mkString(", ")}")
+    found.headOption.getOrElse(DefaultGridMap)
+  }
+
+  // ---- dtype → default nodata (_spatial_utils.py:28-45) -------------------
+
+  object DtypeNodata {
+    /** GDAL dtype-name → default nodata used by write_nodata defaulting and
+      * reproject's dst-nodata fallback (raster_array.py:409-416). Complex
+      * int types have no default (None in the reference → None here). */
+    val map: Map[String, Option[Double]] = Map(
+      "uint8" -> Some(255.0),
+      "uint16" -> Some(65535.0),
+      "int16" -> Some(-32768.0),
+      "uint32" -> Some(4294967295.0),
+      "int32" -> Some(-2147483648.0),
+      "float32" -> Some(Double.NaN),
+      "float64" -> Some(Double.NaN),
+      "cint16" -> None,
+      "cint32" -> None,
+      "cfloat32" -> Some(Double.NaN),
+      "cfloat64" -> Some(Double.NaN),
+      "uint64" -> Some(1.8446744073709552e19), // 2^64-1 as double, like numpy
+      "int64" -> Some(-9.223372036854776e18),
+      "int8" -> Some(-128.0),
+      "float16" -> Some(Double.NaN),
+      "cfloat16" -> Some(Double.NaN))
+
+    /** Default nodata for a dtype, erroring on dtypes with no default (the
+      * reference raises when _NODATA_DTYPE_MAP yields None). */
+    def default(dtype: String): Double =
+      map.getOrElse(dtype.toLowerCase,
+        throw new IllegalArgumentException(s"unknown dtype $dtype"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no default nodata for dtype $dtype"))
+
+    /** write_nodata with dtype defaulting: explicit value wins, else the
+      * dtype's default. */
+    def writeNodataDefault(r: Raster, dtype: String,
+                           nodata: Option[Double] = None): Raster =
+      MetadataOps.writeNodata(r, nodata.getOrElse(default(dtype)))
+  }
+}

@@ -85,16 +85,19 @@ object GraftDataSource {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    fs.exists(p) && fs.listStatus(p).exists(s =>
+    fs.exists(p) && fs.listStatus(StoreLayout.dataDir(fs, p)).exists(s =>
       s.isDirectory && s.getPath.getName.startsWith("var_name="))
   }
 
   /** (file, var_name or null) pairs: flat store -> top-level parquet files;
-    * dataset store -> files inside each var_name=<v>/ directory. */
+    * dataset store -> files inside each var_name=<v>/ directory. Resolves
+    * the live generation first (StoreLayout), so only committed files of
+    * the newest marked generation are ever listed. */
   def listDataFiles(path: String): Seq[(Path, String)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val root = StoreLayout.dataDir(fs, p)
     val top = fs.listStatus(root)
     val parts = top.filter(s => s.isDirectory && s.getPath.getName.startsWith("var_name="))
     if (parts.isEmpty)
@@ -108,7 +111,7 @@ object GraftDataSource {
   }
 }
 
-class GraftTable(path: String, grid: GridRef, tileSize: Int, isDataset: Boolean)
+class GraftTable(path: String, grid: GridRef, val tileSize: Int, isDataset: Boolean)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$path`"
@@ -206,23 +209,39 @@ class GraftScan(path: String, grid: GridRef, tileSize: Int,
   private def tColMin = colMin / tileSize
   private def tColMax = colMax / tileSize
 
-  /** Planning-time file pruning from parquet footer min/max statistics on
-    * (tile_row, tile_col) — the same stats TileIO's Hilbert-ordered write
-    * produced for range locality. Empty window → zero partitions. */
+  /** Planning-time file pruning. Preferred path: the `_index` sidecar (one
+    * small parquet of per-file tile ranges, written at store commit) — the
+    * driver reads ONE file no matter how many data files the store has.
+    * Fallback for pre-index stores: the original per-footer sweep over
+    * min/max statistics on (tile_row, tile_col). Empty window → zero
+    * partitions. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (rowMin > rowMax || colMin > colMax || vars.exists(_.isEmpty)) return Array.empty
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files = GraftDataSource.listDataFiles(path)
-      .filter { case (_, v) => vars.forall(ws => v != null && ws.contains(v)) ||
-                               (v == null && vars.isEmpty) }
-    files.filter { case (f, _) =>
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.exists(b => blockOverlaps(b))
-      } finally reader.close()
-    }.map { case (f, v) => GraftInputPartition(f.toString, grid, tileSize,
-                                   rowMin, rowMax, colMin, colMax, v,
-                                   required.fieldNames): InputPartition }.toArray
+    val dataDir = StoreLayout.dataDir(new Path(path).getFileSystem(conf), new Path(path))
+    StoreLayout.readIndex(conf, dataDir) match {
+      case Some(ranges) =>
+        ranges
+          .filter(r => vars.forall(ws => r.varName != null && ws.contains(r.varName)) ||
+                       (r.varName == null && vars.isEmpty))
+          .filter(r => r.maxTr >= tRowMin && r.minTr <= tRowMax &&
+                       r.maxTc >= tColMin && r.minTc <= tColMax)
+          .map(r => GraftInputPartition(new Path(dataDir, r.file).toString, grid,
+                      tileSize, rowMin, rowMax, colMin, colMax, r.varName,
+                      required.fieldNames): InputPartition).toArray
+      case None =>
+        val files = GraftDataSource.listDataFiles(path)
+          .filter { case (_, v) => vars.forall(ws => v != null && ws.contains(v)) ||
+                                   (v == null && vars.isEmpty) }
+        files.filter { case (f, _) =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+          try {
+            reader.getFooter.getBlocks.asScala.exists(b => blockOverlaps(b))
+          } finally reader.close()
+        }.map { case (f, v) => GraftInputPartition(f.toString, grid, tileSize,
+                                       rowMin, rowMax, colMin, colMax, v,
+                                       required.fieldNames): InputPartition }.toArray
+    }
   }
 
   private def blockOverlaps(b: org.apache.parquet.hadoop.metadata.BlockMetaData): Boolean =

@@ -18,18 +18,23 @@ import scala.collection.mutable
   * .mode("overwrite").option(...).save(path)` over the canonical pixel
   * schema.
   *
-  * Distribution contract: a tile must arrive wholly inside ONE task (e.g.
-  * `df.repartition(expr("row div ts"), expr("col div ts"))`, or any
-  * tile-clustered upstream like TileIO's own layouts). The contract is not
-  * trusted — it is ENFORCED by the commit protocol: every task stages its
-  * file under _staging-<queryId>/ and reports per-tile pixel counts in its
-  * commit message; the driver commit verifies every expected tile appears
-  * exactly once with exactly tileSize^2 pixels before atomically swapping
-  * the staged files in and writing the _grid sidecar. Any violation (or a
-  * failed task) aborts and removes the staging directory — a torn store is
-  * never visible to readers. This is the same per-bucket-lineage idea as
-  * runtime.Checkpoint, expressed through Spark's native BatchWrite
-  * interfaces. */
+  * Distribution: the Write declares `RequiresDistributionAndOrdering`
+  * clustered on (floor(row/ts), floor(col/ts)), so Spark itself plans the
+  * one shuffle that co-locates every tile inside a single task — callers
+  * write un-clustered input and get a correct plan with no manual
+  * repartition. The contract is still not trusted — it is ENFORCED by the
+  * commit protocol: every task stages its file under _staging-<queryId>/,
+  * tracks per-tile DISTINCT pixel coverage in a bitset (a duplicate
+  * (row,col) fails fast in the task; a count can't be faked by dup+miss
+  * pairs), and reports per-tile coverage in its commit message; the driver
+  * commit verifies every expected tile appears exactly once fully covered,
+  * writes the _grid and _index sidecars into the staging dir, renames the
+  * whole dir to _gen-<n>.<queryId>/ and then atomically creates the
+  * _committed-<n>.<queryId> marker — the commit point (see StoreLayout).
+  * Any violation (or a failed task) aborts and removes the staging
+  * directory — a torn store is never visible to readers. This is the same
+  * per-bucket-lineage idea as runtime.Checkpoint, expressed through Spark's
+  * native BatchWrite interfaces. */
 object GraftWrite {
 
   /** Parquet schema matching TileIO.writeTiles' layout (standard 3-level
@@ -90,6 +95,17 @@ class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
   }
 }
 
+/** NOTE on `RequiresDistributionAndOrdering`: the connector interface
+  * cannot express this write's clustering in Spark 4.1 — declaring
+  * `Distributions.clustered(FLOOR(row/ts), FLOOR(col/ts))` as
+  * `GeneralScalarExpression`s fails at planning with "FLOOR(row / 50) is
+  * not currently supported" (`V2ExpressionUtils.toCatalystOpt`,
+  * V2ExpressionUtils.scala:97 converts only named references and
+  * catalog-resolved transforms, and a path-based TableProvider has no
+  * function catalog for a bucket transform). The identical clustering is
+  * therefore injected one layer up by [[GraftWriteDistributionRule]]
+  * (see [[GraftExtensions]]); the commit protocol below remains the
+  * enforced backstop for sessions without the extension. */
 class GraftWriteImpl(path: String, grid: GridRef, ts: Int,
                      schema: StructType, queryId: String) extends Write {
   override def toBatch: BatchWrite = new GraftBatchWrite(path, grid, ts, schema, queryId)
@@ -105,7 +121,10 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
-    // enforce the clustering contract: every tile exactly once, exactly full
+    // enforce the clustering contract: every tile exactly once, exactly full.
+    // counts are bitset cardinalities (distinct covered pixels) — the writer
+    // already failed fast on any duplicate (row,col), so a dup+miss pair can
+    // never masquerade as full coverage.
     val full = ts.toLong * ts
     val nTx = (grid.width + ts - 1) / ts
     val nTy = (grid.height + ts - 1) / ts
@@ -117,26 +136,23 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
       seen(k) = n
     })
     seen.foreach { case (k, n) =>
-      require(n == full, s"tile $k has $n of $full pixels — sparse input")
+      require(n == full, s"tile $k covers $n of $full distinct pixels — sparse input")
     }
     require(seen.size == nTx.toLong * nTy,
       s"store incomplete: ${seen.size} of ${nTx.toLong * nTy} tiles written")
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    // swap: drop old data files + sidecar, promote staged files
-    if (fs.exists(root)) fs.listStatus(root).foreach { s =>
-      if (s.isFile || s.getPath.getName == "_grid" ||
-          s.getPath.getName.startsWith("var_name="))
-        if (!s.getPath.getName.startsWith("_staging-")) fs.delete(s.getPath, true)
+
+    // complete the staging dir into a self-contained generation: _index from
+    // the tasks' own tile ranges (no footer re-reads), then the _grid sidecar
+    val ranges = msgs.filter(_.file != null).map { m =>
+      val trs = m.tileCounts.keys.map(_._1); val tcs = m.tileCounts.keys.map(_._2)
+      StoreLayout.FileRange(new Path(m.file).getName, null,
+        trs.min, trs.max, tcs.min, tcs.max)
     }
-    msgs.filter(_.file != null).foreach { m =>
-      val f = new Path(m.file)
-      fs.rename(f, new Path(root, f.getName))
-    }
-    fs.delete(staging, true)
-    // grid sidecar
-    val gridDir = new Path(root, "_grid")
+    StoreLayout.writeIndex(conf, staging, ranges.toSeq)
+    val gridDir = new Path(staging, "_grid")
     fs.mkdirs(gridDir)
     val w = ExampleParquetWriter.builder(
         org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
@@ -153,6 +169,27 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
       .append("width", grid.width).append("height", grid.height)
       .append("nodata", grid.nodata).append("tile_size", ts)
     w.write(g); w.close()
+
+    // promote: ONE rename, then the atomic marker creation = commit point
+    val prev = StoreLayout.liveGeneration(fs, root)
+    val gen = prev.map(_._1 + 1).getOrElse(1L)
+    val genDir = new Path(root, s"${StoreLayout.GenPrefix}$gen.$queryId")
+    require(fs.rename(staging, genDir), s"failed to promote $staging to $genDir")
+    val marker = new Path(root, s"${StoreLayout.MarkerPrefix}$gen.$queryId")
+    fs.create(marker, false).close() // overwrite=false: either commits or throws
+
+    // committed — sweep everything the marker made invisible: older
+    // generations and their markers, legacy root-level files and sidecars.
+    // A crash here only leaves invisible garbage for the next commit.
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      val keep = n == genDir.getName || n == marker.getName ||
+        n.startsWith("_staging-")
+      if (!keep &&
+          (s.isFile || n == "_grid" || n == "_index" ||
+           n.startsWith(StoreLayout.GenPrefix) || n.startsWith("var_name=")))
+        fs.delete(s.getPath, true)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -178,16 +215,24 @@ class GraftDataWriter(staging: String, grid: GridRef, ts: Int,
                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val tiles = mutable.Map.empty[(Long, Long), (Array[Double], Array[Long])]
+  private val tiles = mutable.Map.empty[(Long, Long), (Array[Double], java.util.BitSet)]
 
   override def write(r: InternalRow): Unit = {
     val row = r.getLong(rowIdx); val col = r.getLong(colIdx)
     val v = r.getLong(valIdx).toDouble
     val k = (row / ts, col / ts)
-    val (data, cnt) = tiles.getOrElseUpdate(k,
-      (new Array[Double](ts * ts), new Array[Long](1)))
-    data(((row % ts) * ts + col % ts).toInt) = v
-    cnt(0) += 1
+    val (data, covered) = tiles.getOrElseUpdate(k, {
+      // defense in depth: a pixel the coverage check somehow missed would
+      // hold nodata, never a silent 0.0
+      val a = new Array[Double](ts * ts)
+      java.util.Arrays.fill(a, grid.nodata)
+      (a, new java.util.BitSet(ts * ts))
+    })
+    val li = ((row % ts) * ts + col % ts).toInt
+    require(!covered.get(li),
+      s"duplicate input pixel (row=$row, col=$col) in tile $k")
+    covered.set(li)
+    data(li) = v
   }
 
   override def commit(): WriterCommitMessage = {
@@ -217,7 +262,8 @@ class GraftDataWriter(staging: String, grid: GridRef, ts: Int,
       writer.write(g)
     }
     writer.close()
-    GraftCommitMessage(file.toString, tiles.map { case (k, (_, cnt)) => k -> cnt(0) }.toMap)
+    GraftCommitMessage(file.toString,
+      tiles.map { case (k, (_, covered)) => k -> covered.cardinality().toLong }.toMap)
   }
 
   private def cellOf(tr: Long, tc: Long): Long = {

@@ -1,0 +1,201 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+
+import scala.jdk.CollectionConverters._
+
+/** Tile-store on-disk commit layout, shared by the DSv2 write path
+  * (GraftWrite), the DSv2 scan (GraftDataSource) and the driver-side
+  * readers (TileIO).
+  *
+  * Two layouts coexist:
+  *
+  *  - **legacy / TileIO layout**: data files, `_grid/` and `_index/` live
+  *    directly under the store root (what `TileIO.writeTiles` and Spark's
+  *    parquet writer produce).
+  *  - **generation layout** (DSv2 `format("graft")` writes): each commit
+  *    renames its fully-written staging directory — data files plus `_grid/`
+  *    and `_index/` — to `_gen-<n>.<queryId>/` in ONE filesystem rename,
+  *    then atomically creates an empty marker file `_committed-<n>.<queryId>`.
+  *    The marker creation is the commit point: readers resolve the highest
+  *    marked generation and read only inside its directory, so a crash
+  *    anywhere in the protocol leaves either the previous store fully live
+  *    (marker not yet created — the new gen dir is invisible garbage) or the
+  *    new store fully live (marker created — stale files are invisible and
+  *    swept by the next commit). A torn store is never observable. This is
+  *    the snapshot-pointer discipline of an Iceberg commit expressed with
+  *    nothing but rename-and-create atomicity; the reference's analog is the
+  *    windowed writer lock protocol in rioxarray raster_writer.py:315-340.
+  *
+  * The `_index/` sidecar holds one row per data file with its
+  * (tile_row, tile_col) min/max so scan planning reads ONE small file
+  * instead of opening every data-file footer on the driver (the classic
+  * Hive-listing bottleneck at 10^5-10^6 files). */
+object StoreLayout {
+
+  val MarkerPrefix = "_committed-"
+  val GenPrefix = "_gen-"
+
+  /** Highest committed (generation, queryId), if any marker exists. */
+  def liveGeneration(fs: FileSystem, root: Path): Option[(Long, String)] =
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .flatMap { n =>
+        val rest = n.stripPrefix(MarkerPrefix)
+        val i = rest.indexOf('.')
+        if (i <= 0) None
+        else scala.util.Try((rest.take(i).toLong, rest.drop(i + 1))).toOption
+      }
+      .sortBy { case (g, q) => (g, q) }.lastOption
+
+  /** Directory holding the live data files / `_grid` / `_index`: the
+    * current generation directory, or the root for legacy stores. */
+  def dataDir(fs: FileSystem, root: Path): Path =
+    liveGeneration(fs, root) match {
+      case Some((g, q)) => new Path(root, s"$GenPrefix$g.$q")
+      case None => root
+    }
+
+  def dataDir(root: String): Path = {
+    val p = new Path(root)
+    dataDir(p.getFileSystem(new Configuration()), p)
+  }
+
+  // ---- `_index` sidecar ------------------------------------------------
+
+  val IndexSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message index {
+      |  required binary file (UTF8);
+      |  optional binary var_name (UTF8);
+      |  required int64 min_tr; required int64 max_tr;
+      |  required int64 min_tc; required int64 max_tc;
+      |}""".stripMargin)
+
+  /** One data file's planning row: name (relative to the data dir, incl.
+    * any var_name=<v>/ prefix), variable (null for flat stores), tile
+    * ranges. */
+  case class FileRange(file: String, varName: String,
+                       minTr: Long, maxTr: Long, minTc: Long, maxTc: Long)
+
+  def writeIndex(conf: Configuration, dir: Path, ranges: Seq[FileRange]): Unit = {
+    val indexDir = new Path(dir, "_index")
+    dir.getFileSystem(conf).mkdirs(indexDir)
+    val w = ExampleParquetWriter.builder(
+        HadoopOutputFile.fromPath(new Path(indexDir, "part-index.parquet"), conf))
+      .withType(IndexSchema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    val f = new SimpleGroupFactory(IndexSchema)
+    ranges.foreach { r =>
+      val g = f.newGroup().append("file", r.file)
+      if (r.varName != null) g.append("var_name", r.varName)
+      g.append("min_tr", r.minTr).append("max_tr", r.maxTr)
+        .append("min_tc", r.minTc).append("max_tc", r.maxTc)
+      w.write(g)
+    }
+    w.close()
+  }
+
+  /** All index rows for the store's live generation, or None when no index
+    * sidecar exists (pre-index store → caller falls back to footer scans). */
+  def readIndex(conf: Configuration, dir: Path): Option[Seq[FileRange]] = {
+    val indexDir = new Path(dir, "_index")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(indexDir)) return None
+    val files = fs.listStatus(indexDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    Some(files.toSeq.flatMap { st =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val out = scala.collection.mutable.ArrayBuffer.empty[FileRange]
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val colIO = new org.apache.parquet.io.ColumnIOFactory().getColumnIO(schema)
+          val rr = colIO.getRecordReader(pages,
+            new org.apache.parquet.example.data.simple.convert.GroupRecordConverter(schema))
+          var i = 0L
+          while (i < pages.getRowCount) {
+            val g = rr.read()
+            val v = if (g.getFieldRepetitionCount("var_name") > 0)
+                      g.getString("var_name", 0) else null
+            out += FileRange(g.getString("file", 0), v,
+              g.getLong("min_tr", 0), g.getLong("max_tr", 0),
+              g.getLong("min_tc", 0), g.getLong("max_tc", 0))
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+        out.toSeq
+      } finally reader.close()
+    })
+  }
+
+  /** Whole-file (tile_row, tile_col) range from a data file's footer stats
+    * — used once at write time to build the index (not per scan). */
+  def footerRange(conf: Configuration, file: Path): Option[(Long, Long, Long, Long)] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      var minTr = Long.MaxValue; var maxTr = Long.MinValue
+      var minTc = Long.MaxValue; var maxTc = Long.MinValue
+      var ok = true
+      reader.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          val has = st != null && !st.isEmpty && st.hasNonNullValue
+          c.getPath.toDotString match {
+            case "tile_row" =>
+              if (has) {
+                minTr = math.min(minTr, st.genericGetMin.asInstanceOf[Number].longValue())
+                maxTr = math.max(maxTr, st.genericGetMax.asInstanceOf[Number].longValue())
+              } else ok = false
+            case "tile_col" =>
+              if (has) {
+                minTc = math.min(minTc, st.genericGetMin.asInstanceOf[Number].longValue())
+                maxTc = math.max(maxTc, st.genericGetMax.asInstanceOf[Number].longValue())
+              } else ok = false
+            case _ => ()
+          }
+        }
+      }
+      if (ok && minTr != Long.MaxValue && minTc != Long.MaxValue)
+        Some((minTr, maxTr, minTc, maxTc))
+      else None
+    } finally reader.close()
+  }
+
+  /** Sweep every data file under `dir` (flat files and var_name=<v>/
+    * partition dirs) into an `_index` sidecar from footer stats — the
+    * one-time write-side cost that makes every later scan plan from a
+    * single file. Files whose stats are unreadable are indexed with the
+    * full-range row (never pruned). */
+  def buildIndexFromFooters(conf: Configuration, dir: Path): Unit = {
+    val fs = dir.getFileSystem(conf)
+    val top = fs.listStatus(dir).toSeq
+    val flat = top.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath, s.getPath.getName, null: String))
+    val partd = top.filter(s => s.isDirectory && s.getPath.getName.startsWith("var_name="))
+      .flatMap { d =>
+        val v = d.getPath.getName.stripPrefix("var_name=")
+        fs.listStatus(d.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath, s"${d.getPath.getName}/${s.getPath.getName}", v))
+      }
+    val ranges = (flat ++ partd).map { case (p, rel, v) =>
+      footerRange(conf, p) match {
+        case Some((a, b, c, d)) => FileRange(rel, v, a, b, c, d)
+        case None => FileRange(rel, v, Long.MinValue, Long.MaxValue, Long.MinValue, Long.MaxValue)
+      }
+    }
+    writeIndex(conf, dir, ranges)
+  }
+}

@@ -58,8 +58,13 @@ object TileIO {
       .withColumn("h", lit(tileSize)).withColumn("w", lit(tileSize))
     PartitionOps.hilbertLayout(withCell, "cell_id", CellLevel, 8)
       .write.mode("overwrite").parquet(path)
-    // grid sidecar
+    // scan-planning index: ONE footer sweep at write time (production: the
+    // ranges come from task commit messages, as in GraftWrite) so every
+    // later scan plans from a single `_index` file instead of opening every
+    // data-file footer on the driver
     val spark = r.df.sparkSession
+    StoreLayout.buildIndexFromFooters(
+      spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(path))
     import spark.implicits._
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
@@ -104,6 +109,8 @@ object TileIO {
     PartitionOps.hilbertLayout(withCell, "cell_id", CellLevel, 8)
       .write.mode("overwrite").partitionBy("var_name").parquet(path)
     val spark = ds.sparkSession
+    StoreLayout.buildIndexFromFooters(
+      spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(path))
     import spark.implicits._
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
@@ -119,7 +126,7 @@ object TileIO {
                         variables: Option[Seq[String]] = None):
       (org.apache.spark.sql.DataFrame, GridRef) = {
     val (g, ts) = readGrid(spark, path)
-    val tiles0 = spark.read.parquet(path)
+    val tiles0 = spark.read.parquet(dataDir(spark, path))
     val tiles1 = variables match {
       case Some(vs) => tiles0.filter(col("var_name").isin(vs: _*))
       case None => tiles0
@@ -148,8 +155,17 @@ object TileIO {
     (filtered, g)
   }
 
+  /** Live data directory of a store: the newest committed generation dir
+    * for DSv2-written stores (StoreLayout marker protocol), the root for
+    * legacy TileIO layouts. */
+  def dataDir(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    StoreLayout.dataDir(fs, p).toString
+  }
+
   def readGrid(spark: SparkSession, path: String): (GridRef, Int) = {
-    val r = spark.read.parquet(s"$path/_grid").collect()(0)
+    val r = spark.read.parquet(s"${dataDir(spark, path)}/_grid").collect()(0)
     (GridRef(Crs.parse(r.getAs[String]("crs")),
       Affine(r.getAs[Double]("ta"), r.getAs[Double]("tb"), r.getAs[Double]("tc"),
              r.getAs[Double]("td"), r.getAs[Double]("te"), r.getAs[Double]("tf")),
@@ -163,7 +179,7 @@ object TileIO {
   def readPixels(spark: SparkSession, path: String,
                  window: Option[PixelWindow] = None): Raster = {
     val (g, ts) = readGrid(spark, path)
-    val tiles = spark.read.parquet(path)
+    val tiles = spark.read.parquet(dataDir(spark, path))
     val pruned = window match {
       case Some(w) => tiles.filter(
         col("tile_row") >= w.rowStart / ts && col("tile_row") <= (w.rowStop - 1) / ts &&

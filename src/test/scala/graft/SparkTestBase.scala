@@ -18,5 +18,6 @@ object SparkTestBase {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.extensions", "graft.sources.GraftExtensions")
     .getOrCreate()
 }

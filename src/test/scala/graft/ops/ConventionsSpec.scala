@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkTestBase
+import graft.core._
+import graft.ops.Conventions._
+
+/** Conventions layer: CF import/export roundtrips against reference-shaped
+  * attribute dicts (rioxarray/_convention/cf.py), set_options scoping,
+  * grid_mapping conflict semantics, dtype-nodata defaulting. */
+class ConventionsSpec extends SparkTestBase {
+
+  def modis: GridRef = Synth.modisGrid
+  def raster: Raster = Raster(Synth.pixels(spark, modis), modis)
+
+  test("GeoTransform matches the reference's golden strings (GDAL order)") {
+    // test_integration_rioxarray.py:2916 / :2936
+    assert(Affine(3.0, 0.0, 425047.0, 0.0, -3.0, 4615780.0).toGdal ==
+      "425047.0 3.0 0.0 4615780.0 0.0 -3.0")
+    assert(Affine(14.0, 9.0, 305827.0, 9.0, -14.0, 5223236.0).toGdal ==
+      "305827.0 14.0 9.0 5223236.0 9.0 -14.0")
+    // fromGdal inverts exactly
+    assert(Affine.fromGdal("305827.0 14.0 9.0 5223236.0 9.0 -14.0") ==
+      Affine(14.0, 9.0, 305827.0, 9.0, -14.0, 5223236.0))
+  }
+
+  test("CF export/import roundtrips crs + transform through a plain attr map") {
+    for (crs <- Seq(Crs.MODIS_SINU, Crs.WGS84, Crs.WEB_MERCATOR,
+                    Crs.utm(15, north = true),
+                    Crs.parse("+proj=tmerc +lon_0=9 +k=0.9996 +x_0=500000 +y_0=0"),
+                    Crs.parse("+proj=merc +lon_0=0 +k=1"))) {
+      val g = modis.copy(crs = crs)
+      val attrs = CfConvention.exportAttrs(g)
+      // reference shape: spatial_ref + crs_wkt + GeoTransform on the
+      // grid-mapping coordinate, grid_mapping pointing at it
+      assert(attrs.contains("spatial_ref:spatial_ref"))
+      assert(attrs.contains("spatial_ref:crs_wkt"))
+      assert(attrs("grid_mapping") == "spatial_ref")
+      assert(attrs("spatial_ref:GeoTransform") == g.transform.toGdal)
+      val re = readCfGrid(attrs, g.width, g.height, g.nodata)
+      assert(re.isDefined, s"no grid back for $crs")
+      assert(re.get.transform == g.transform)
+      assert(re.get.crs.proj == crs.proj, s"proj mismatch for $crs: ${re.get.crs}")
+    }
+  }
+
+  test("CF import falls back to grid-mapping parameter attrs when wkt absent") {
+    val g = modis
+    val attrs = CfConvention.exportAttrs(g) -
+      "spatial_ref:spatial_ref" - "spatial_ref:crs_wkt"
+    val crs = CfConvention.importCrs(attrs)
+    assert(crs.isDefined && crs.get.proj == Crs.MODIS_SINU.proj)
+  }
+
+  test("set_options: export_grid_mapping=false trims to wkt-only, scoped restore") {
+    val before = Conventions.options
+    val attrs = withOptions(GraftOptions(exportGridMapping = false)) {
+      CfConvention.exportAttrs(modis)
+    }
+    assert(!attrs.contains("spatial_ref:grid_mapping_name"))
+    assert(attrs.contains("spatial_ref:crs_wkt"))
+    assert(Conventions.options == before, "options must restore on exit")
+    intercept[IllegalArgumentException] { GraftOptions(convention = "nope") }
+  }
+
+  test("read_spatial_dimensions: names first, then CF axis/standard_name attrs") {
+    assert(CfConvention.readSpatialDimensions(Seq("y", "x", "value"), Map.empty)
+      .contains(("y", "x")))
+    assert(CfConvention.readSpatialDimensions(Seq("latitude", "longitude"), Map.empty)
+      .contains(("latitude", "longitude")))
+    val attrs = Map("east:axis" -> "X", "north:standard_name" -> "latitude")
+    assert(CfConvention.readSpatialDimensions(Seq("north", "east"), attrs)
+      .contains(("north", "east")))
+    assert(CfConvention.readSpatialDimensions(Seq("a", "b"), Map.empty).isEmpty)
+  }
+
+  test("write_coordinate_system: projected vs geographic attr sets") {
+    val proj = writeCoordinateSystem(raster)
+    assert(proj.grid.attrs("x:standard_name") == "projection_x_coordinate")
+    assert(proj.grid.attrs("y:units") == "metre")
+    val geo = writeCoordinateSystem(
+      Raster(raster.df, modis.copy(crs = Crs.WGS84)))
+    assert(geo.grid.attrs("x:units") == "degrees_east")
+    assert(geo.grid.attrs("y:standard_name") == "latitude")
+  }
+
+  test("grid_mapping: default, per-var value, multi-var conflict error") {
+    assert(gridMapping(raster) == "spatial_ref")
+    val r2 = MetadataOps.updateAttrs(raster, Map("grid_mapping" -> "crs_def"))
+    assert(gridMapping(r2) == "crs_def")
+    assert(gridMappingOf(Map(
+      "nir" -> Map("grid_mapping" -> "crs_def"),
+      "red" -> Map.empty[String, String])) == "crs_def")
+    intercept[MultipleGridMappings] {
+      gridMappingOf(Map(
+        "nir" -> Map("grid_mapping" -> "a"),
+        "red" -> Map("grid_mapping" -> "b")))
+    }
+  }
+
+  test("dtype-default nodata matches the reference table (_spatial_utils.py:28-45)") {
+    assert(DtypeNodata.default("uint8") == 255.0)
+    assert(DtypeNodata.default("int16") == -32768.0)
+    assert(DtypeNodata.default("uint16") == 65535.0)
+    assert(DtypeNodata.default("int32") == -2147483648.0)
+    assert(DtypeNodata.default("uint32") == 4294967295.0)
+    assert(DtypeNodata.default("int8") == -128.0)
+    assert(DtypeNodata.default("float32").isNaN && DtypeNodata.default("float64").isNaN)
+    intercept[IllegalArgumentException] { DtypeNodata.default("cint16") } // None in ref
+    intercept[IllegalArgumentException] { DtypeNodata.default("bogus") }
+    // write_nodata defaulting: explicit wins, else dtype default
+    assert(DtypeNodata.writeNodataDefault(raster, "int16").grid.nodata == -32768.0)
+    assert(DtypeNodata.writeNodataDefault(raster, "int16", Some(-7.0)).grid.nodata == -7.0)
+  }
+
+  test("writeCfAttrs + readCfGrid: full raster metadata roundtrip") {
+    val written = writeCfAttrs(raster)
+    val back = readCfGrid(written.grid.attrs, modis.width, modis.height, modis.nodata)
+    assert(back.isDefined)
+    assert(back.get.transform == modis.transform)
+    assert(back.get.crs.proj == modis.crs.proj)
+  }
+}

@@ -86,8 +86,7 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(none == 0)
   }
 
-  test("DSv2 write: commit swaps a complete store in; clustering contract enforced") {
-    import org.apache.spark.sql.functions.expr
+  test("DSv2 write: Spark plans the tile shuffle itself; commit is atomic and coverage-gated") {
     val g = Synth.modisGrid
     val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString + "/w1"
     def opts(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
@@ -95,8 +94,39 @@ class GraftDataSourceSpec extends SparkTestBase {
         .option("width", "200").option("height", "200")
         .option("nodata", "-28672.0").option("tile_size", "50")
     val px = Synth.pixels(spark, g)
-    opts(px.repartition(expr("row div 50"), expr("col div 50"))
-      .write.format("graft").mode("overwrite")).save(dir)
+
+    // capture the write's executed plan to prove RequiresDistributionAndOrdering
+    // injected exactly one exchange on the tile key — no manual repartition
+    @volatile var writePlan: Option[org.apache.spark.sql.execution.SparkPlan] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (qe.executedPlan.toString().contains("graft")) writePlan = Some(qe.executedPlan)
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // deliberately badly-partitioned input: round-robin by nothing tile-like
+      opts(px.repartition(17, org.apache.spark.sql.functions.col("row"))
+        .write.format("graft").mode("overwrite")).save(dir)
+      // listener delivery is async: poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (writePlan.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val plan = writePlan.getOrElse(fail("write plan not captured")).toString()
+      // the write-side clustering exchange on FLOOR(row/50), FLOOR(col/50)
+      // (AQE nests exchanges inside query stages, so count in the plan text;
+      // the == Final Plan == / == Initial Plan == sections each show it once)
+      val finalSection = plan.split("== Initial Plan ==").head
+      val tileExchanges =
+        "Exchange hashpartitioning\\(FLOOR".r.findAllIn(finalSection).size
+      assert(tileExchanges == 1, s"expected one tile-key exchange, plan:\n$plan")
+      assert(plan.contains("FLOOR((cast(row") && plan.contains("FLOOR((cast(col"),
+        s"tile key must be floor(row/ts), floor(col/ts):\n$plan")
+    } finally spark.listenerManager.unregister(listener)
+
     // both read paths see the identical store
     val viaDsv2 = spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet
     val viaTileIO = TileIO.readPixels(spark, dir).df.collect().map(_.toSeq).toSet
@@ -105,15 +135,48 @@ class GraftDataSourceSpec extends SparkTestBase {
     // grid sidecar round-trips
     val (grid2, ts2) = TileIO.readGrid(spark, dir)
     assert(grid2 == g && ts2 == 50)
-    // a non-tile-clustered write must be REJECTED at commit (tiles split
-    // across tasks), and the failed write must not corrupt the store
+
+    // generation layout: commit marker + gen dir with _grid/_index inside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val names0 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(names0.exists(_.startsWith("_committed-1.")), names0.mkString(","))
+    assert(names0.exists(_.startsWith("_gen-1.")), names0.mkString(","))
+
+    // a second overwrite advances the generation and sweeps the old one
+    opts(px.write.format("graft").mode("overwrite")).save(dir)
+    val names1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(names1.exists(_.startsWith("_committed-2.")), names1.mkString(","))
+    assert(!names1.exists(_.startsWith("_gen-1.")), "old generation must be swept")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == direct)
+
+    // an input with a duplicated pixel must be REJECTED in the task (bitset
+    // fail-fast) and the failed write must leave the old store fully live
+    val dup = px.union(px.limit(1))
     val bad = intercept[Exception] {
-      opts(px.repartition(32, org.apache.spark.sql.functions.col("row"))
-        .write.format("graft").mode("overwrite")).save(dir)
+      opts(dup.write.format("graft").mode("overwrite")).save(dir)
     }
     assert(bad.getMessage != null)
     val after = spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet
     assert(after == direct, "aborted write must leave the old store intact")
+    val (grid3, ts3) = TileIO.readGrid(spark, dir)
+    assert(grid3 == g && ts3 == 50)
+  }
+
+  test("scan plans from the _index sidecar, not per-file footers") {
+    // the shared TileIO store now carries an _index; pruning must still hold
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new org.apache.hadoop.fs.Path(store, "_index")))
+    val ranges = StoreLayout.readIndex(
+      spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(store))
+    assert(ranges.exists(_.nonEmpty))
+    // every data file appears exactly once in the index
+    val dataFiles = GraftDataSource.listDataFiles(store).map(_._1.getName).toSet
+    assert(ranges.get.map(_.file).toSet == dataFiles)
+    // planning honors the index: the windowed scan touches fewer files and
+    // returns the exact same content (parity assertions live in the window
+    // test above, which now runs through the index path)
   }
 
   test("column pruning reaches the reader and residual filters still apply") {
