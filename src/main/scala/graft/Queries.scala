@@ -99,6 +99,16 @@ object Queries {
   def qMerge(method: String)(spark: SparkSession, sfDir: String): DataFrame =
     MergeOps.merge(mergeSources(spark), method).df.orderBy("row", "col")
 
+  /** The tile-native merge kernel under the SAME oracle as the pixel merge
+    * (the q_reproject_tiled pattern): pack -> fragment shuffle keyed by dst
+    * tile -> per-tile paint -> unpack. The shuffle carries each source pixel
+    * once as part of a packed fragment, not as a row. */
+  def qMergeTiled(spark: SparkSession, sfDir: String): DataFrame = {
+    val packed = mergeSources(spark).map(r => graft.ops.TileWarp.pack(r, 50) -> r.grid)
+    val (tiles, dstG) = graft.ops.TileMerge.mergeTiles(packed, "first", 50)
+    graft.ops.TileWarp.toPixels(tiles, dstG, 50).orderBy("row", "col")
+  }
+
   // ---- merge_datasets (multi-variable) fixtures ---------------------------
 
   val dsVarSeeds: Seq[(String, Long)] = Seq("nir" -> 999L, "red" -> 12345L)
@@ -202,8 +212,9 @@ object Queries {
     WarpOps.resampleGauss(Raster(Synth.pixels(spark, modis), modis))
       .df.orderBy("row", "col")
 
-  /** reproject_match (nearest) onto the fixture UTM grid — no SQL oracle
-    * (transverse-Mercator series in SQL); exact-checked in WarpSpec. */
+  /** reproject_match (nearest) onto the fixture UTM grid — oracle-gated:
+    * the Karney transverse-Mercator inverse is transcribed to SQL
+    * (WarpOps.nearestSinuFromTmSql), and WarpSpec exact-checks besides. */
   def qReprojectMatch(spark: SparkSession, sfDir: String): DataFrame =
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis),
                              Synth.matchUtmGrid).df.orderBy("row", "col")
@@ -432,6 +443,18 @@ object Queries {
       .orderBy("row", "col")
   }
 
+  /** H3-style hex cell index over the same sampled pixel set — the third
+    * DGGS family (north_rule: "H3 (res 7-12) and S2 cell covers"); res 8
+    * hexes (~0.08°) sit inside the north_rule's res 7-12 working band. */
+  val hexRes = 8
+  def qCellIndexHex(spark: SparkSession, sfDir: String): DataFrame = {
+    val px = Synth.pixels(spark, modis).filter((col("row") * 200 + col("col")) % 7 === 0)
+    val (lon, lat) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
+    px.select(col("row"), col("col"),
+        graft.core.Hex.cellIdColumn(lon, lat, hexRes).as("cell_id"))
+      .orderBy("row", "col")
+  }
+
   // ---- kNN ----------------------------------------------------------------
 
   val knnK = 5
@@ -567,6 +590,22 @@ object Queries {
   def qDocGeomCellsS2(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.geomCellCoverS2(
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, level = 7)
+      .orderBy("doc_id", "cell_id")
+
+  /** Sliver-free S2 cover (exact per-face st-rect enumeration, lattice only
+    * as the multi-face fallback) — the production scale path: no 81x sample
+    * amplification, no DISTINCT shuffle on the hull branch. */
+  def qDocGeomCellsS2Rect(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.geomCellCoverS2Rect(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, level = 7)
+      .orderBy("doc_id", "cell_id")
+
+  /** H3-style hex cover of each doc geometry (SAT-exact hexagon-vs-bbox,
+    * map-only). res 5 hexes (~0.12°) suit the fixture's ≤0.8° boxes; the
+    * same op runs at any res in the 7-12 band at production cell sizes. */
+  def qDocGeomCellsHex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.geomCellCoverHex(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, res = 5)
       .orderBy("doc_id", "cell_id")
 
   def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
@@ -848,6 +887,15 @@ object Queries {
         "\nORDER BY row, col"
     }
 
+    def cellIndexHex: String = {
+      val (r, lon0) = (6371007.181, 0.0)
+      val latE = s"(y / $r) / ${WarpOps.D2R}"
+      val lonE = s"(x / ($r * COS(y / $r))) / ${WarpOps.D2R} + $lon0"
+      val src = s"SELECT row, col, x, y FROM ($px) WHERE (row*200 + col) % 7 = 0"
+      graft.core.Hex.cellIdSql(src, lonE, latE, hexRes, Seq("row", "col")) +
+        "\nORDER BY row, col"
+    }
+
     def knn: String = {
       val t = modis.transform
       // CAST(i AS DOUBLE): DuckDB otherwise types `i*4.0` as DECIMAL and the
@@ -882,6 +930,10 @@ object Queries {
     def docTileAssign: String = graft.docs.DocOps.tileAssignmentsSql("documents")
     def docGeomCells: String = graft.docs.DocOps.geomCellCoverSql("documents", modis, docCellLevel)
     def docGeomCellsS2: String = graft.docs.DocOps.geomCellCoverS2Sql("documents", modis, 7)
+    def docGeomCellsS2Rect: String =
+      graft.docs.DocOps.geomCellCoverS2RectSql("documents", modis, 7)
+    def docGeomCellsHex: String =
+      graft.docs.DocOps.geomCellCoverHexSql("documents", modis, 5)
     def docTileSpatial: String = graft.docs.DocOps.spatialTileAssignmentsSql("documents", modis, 12)
 
     val lineitemAgg: String =

