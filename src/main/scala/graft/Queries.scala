@@ -485,6 +485,12 @@ object Queries {
     KnnOps.knnKdTree(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
       cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
 
+  /** Query-side sibling for the Q<<T corpus shape (targets never
+    * replicate); same brute-force oracle. */
+  def qKnnKdtreeQs(spark: SparkSession, sfDir: String): DataFrame =
+    KnnOps.knnKdTreeQuerySide(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
+      cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
+
   // ---- text / dedup / ann / docs (training-data pipeline ops) -------------
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =
@@ -607,6 +613,14 @@ object Queries {
     graft.docs.DocOps.geomCellCoverHex(
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, res = 5)
       .orderBy("doc_id", "cell_id")
+
+  /** Spatial doc x tile join over the H3-style hex cover (north_rule:
+    * "H3 ... cell covers ... inside a broadcast-or-sort-merge spatial
+    * join"). */
+  def qDocTileSpatialHex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.spatialTileAssignmentsHex(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, res = 5)
+      .orderBy("doc_id", "tile_id", "cell_id")
 
   def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.spatialTileAssignments(
@@ -934,6 +948,8 @@ object Queries {
       graft.docs.DocOps.geomCellCoverS2RectSql("documents", modis, 7)
     def docGeomCellsHex: String =
       graft.docs.DocOps.geomCellCoverHexSql("documents", modis, 5)
+    def docTileSpatialHex: String =
+      graft.docs.DocOps.spatialTileAssignmentsHexSql("documents", modis, 5)
     def docTileSpatial: String = graft.docs.DocOps.spatialTileAssignmentsSql("documents", modis, 12)
 
     val lineitemAgg: String =

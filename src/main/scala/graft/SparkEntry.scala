@@ -72,6 +72,7 @@ object SparkEntry {
     "q_cell_index_s2" -> (Queries.qCellIndexS2 _),
     "q_knn" -> (Queries.qKnn _),
     "q_knn_kdtree" -> (Queries.qKnnKdtree _),
+    "q_knn_kdtree_qs" -> (Queries.qKnnKdtreeQs _),
     "q_text_quality" -> (Queries.qTextQuality _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_token_count" -> (Queries.qTokenCount _),
@@ -92,6 +93,7 @@ object SparkEntry {
     "q_doc_geom_cells_s2_rect" -> (Queries.qDocGeomCellsS2Rect _),
     "q_cell_index_hex" -> (Queries.qCellIndexHex _),
     "q_doc_geom_cells_hex" -> (Queries.qDocGeomCellsHex _),
+    "q_doc_tile_spatial_hex" -> (Queries.qDocTileSpatialHex _),
     "q_doc_tile_spatial" -> (Queries.qDocTileSpatial _),
     "q_media_features" -> (Queries.qMediaFeatures _),
   )
@@ -177,6 +179,7 @@ object SparkEntry {
       "q_cell_index_s2" -> Oracles.cellIndexS2,
       "q_knn" -> Oracles.knn,
       "q_knn_kdtree" -> Oracles.knn,
+      "q_knn_kdtree_qs" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,
       "q_lang_id" -> Oracles.langId,
       "q_token_count" -> Oracles.tokenCount,
@@ -197,6 +200,7 @@ object SparkEntry {
       "q_doc_geom_cells_s2_rect" -> Oracles.docGeomCellsS2Rect,
       "q_cell_index_hex" -> Oracles.cellIndexHex,
       "q_doc_geom_cells_hex" -> Oracles.docGeomCellsHex,
+      "q_doc_tile_spatial_hex" -> Oracles.docTileSpatialHex,
       "q_doc_tile_spatial" -> Oracles.docTileSpatial,
       // media: the oracle recomputes features from the synthesis formulas,
       // gating the real binary encode->parse pipeline against arithmetic

@@ -592,6 +592,52 @@ object DocOps {
        |ORDER BY doc_id, tile_id""".stripMargin
   }
 
+  /** Hex variant of the spatial doc x tile join: the H3-style cover joined
+    * to tile-centre hex cells — the north_rule's "H3 cell covers ... inside
+    * a broadcast-or-sort-merge spatial join" realized end-to-end on the
+    * third DGGS family. Same plan shape as [[spatialTileAssignments]]. */
+  def spatialTileAssignmentsHex(docsSpans: DataFrame, grid: GridRef, res: Int): DataFrame = {
+    val spark = docsSpans.sparkSession
+    val cover = geomCellCoverHex(docsSpans, grid, res)
+    val tilePx = grid.width / TileGridN
+    val tiles = spark.range(TileGridN.toLong * TileGridN)
+      .select(col("id").as("tile_id"),
+        (expr(s"id div $TileGridN") * tilePx + tilePx / 2.0).as("prow"),
+        (col("id") % TileGridN * tilePx + tilePx / 2.0).as("pcol"))
+    val t = grid.transform
+    val tx = lit(t.a) * col("pcol") + lit(t.c)
+    val ty = lit(t.e) * col("prow") + lit(t.f)
+    val (lon, lat) = WarpOps.inverseColumns(grid.crs, tx, ty)
+    val tileCells = tiles.select(col("tile_id"),
+      Hex.cellIdColumn(lon, lat, res).as("cell_id"))
+    cover.join(broadcast(tileCells), "cell_id")
+      .select("doc_id", "tile_id", "cell_id")
+  }
+
+  /** DuckDB mirror of [[spatialTileAssignmentsHex]]. */
+  def spatialTileAssignmentsHexSql(table: String, grid: GridRef, res: Int): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    val tilePx = grid.width / TileGridN
+    val pr = s"(CAST(tid // $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val pc = s"(CAST(tid % $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val tx = s"(${t.a} * $pc + ${t.c})"
+    val ty = s"(${t.e} * $pr + ${t.f})"
+    val lat = s"(($ty) / $r) / ${WarpOps.D2R}"
+    val lon = s"(($tx) / ($r * COS(($ty) / $r))) / ${WarpOps.D2R} + $lon0"
+    val tileSrc = s"SELECT CAST(i AS BIGINT) AS tid FROM generate_series(0, ${TileGridN * TileGridN - 1}) t(i)"
+    s"""WITH cover AS (${geomCellCoverHexSql(table, grid, res)}),
+       |tiles AS (
+       |  SELECT tid AS tile_id, cell_id FROM (
+       |    ${Hex.cellIdSql(tileSrc, lon, lat, res, Seq("tid"))}))
+       |SELECT c.doc_id, t.tile_id, c.cell_id
+       |FROM cover c JOIN tiles t ON c.cell_id = t.cell_id
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** Spatial doc x tile join: docs' geometry cell covers joined to tile
     * centre cells at the same level -> (doc_id, tile_id) assignments. The
     * tile side is tiny metadata here; at corpus scale both sides are

@@ -295,6 +295,54 @@ object Conventions {
     found.headOption.getOrElse(DefaultGridMap)
   }
 
+  // ---- CF time decoding (_io.py:705-743 _decode_datetime_cf) --------------
+
+  /** CF datetime coder for a numeric time coordinate column: "units"
+    * attrs of the form "<unit> since <epoch>" decode to timestamps
+    * (the engine analog of xarray's CFDatetimeCoder over the reference's
+    * `time` coordinate; standard/proleptic-gregorian calendar). Pure
+    * Column arithmetic — timestamp = epoch + value * unit_seconds — so
+    * the decode stays inside codegen on a 10^12-row table. */
+  object CfTime {
+    private val UnitSeconds: Map[String, Double] = Map(
+      "seconds" -> 1.0, "second" -> 1.0, "s" -> 1.0,
+      "minutes" -> 60.0, "minute" -> 60.0, "min" -> 60.0,
+      "hours" -> 3600.0, "hour" -> 3600.0, "h" -> 3600.0,
+      "days" -> 86400.0, "day" -> 86400.0, "d" -> 86400.0)
+
+    /** Parse a CF units string into (secondsPerUnit, epochSeconds). */
+    def parseUnits(units: String): (Double, Long) = {
+      val parts = units.trim.split("\\s+since\\s+", 2)
+      require(parts.length == 2, s"not a CF time units string: '$units'")
+      val mult = UnitSeconds.getOrElse(parts(0).trim.toLowerCase,
+        throw new IllegalArgumentException(s"unsupported CF time unit '${parts(0)}'"))
+      val epochStr = parts(1).trim.replace("T", " ")
+      val norm = if (epochStr.contains(" ")) epochStr else s"$epochStr 00:00:00"
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-M-d H:m[:s[.SSS]]")
+      val ldt = java.time.LocalDateTime.parse(norm, fmt)
+      (mult, ldt.toEpochSecond(java.time.ZoneOffset.UTC))
+    }
+
+    /** Decode a numeric CF time column to a timestamp Column. */
+    def decodeColumn(time: org.apache.spark.sql.Column,
+                     units: String): org.apache.spark.sql.Column = {
+      val (mult, epoch) = parseUnits(units)
+      org.apache.spark.sql.functions.timestamp_seconds(
+        time.cast("double") * mult + epoch.toDouble)
+    }
+
+    /** Encode back to the numeric coordinate (inverse of decodeColumn). */
+    def encodeColumn(ts: org.apache.spark.sql.Column,
+                     units: String): org.apache.spark.sql.Column = {
+      val (mult, epoch) = parseUnits(units)
+      (org.apache.spark.sql.functions.unix_timestamp(ts).cast("double") - epoch) / mult
+    }
+
+    /** The reference's decode gate: only coords whose units contain
+      * "since" are datetime-decoded (_io.py:718). */
+    def isCfTime(units: String): Boolean = units != null && units.contains("since")
+  }
+
   // ---- dtype → default nodata (_spatial_utils.py:28-45) -------------------
 
   object DtypeNodata {

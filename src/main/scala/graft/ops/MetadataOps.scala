@@ -137,6 +137,35 @@ object MetadataOps {
       }
     }
 
+  /** Per-band attribute collapse — the open-path tag handling of
+    * `_get_rasterio_attrs` (rioxarray/_io.py:657-702): nodata becomes
+    * _FillValue; scales/offsets collapse to scale_factor/add_offset when
+    * uniform across bands and stay as per-band lists otherwise;
+    * descriptions collapse to a single long_name when uniform; units
+    * passthrough (single or list). Returned as the engine's string attr
+    * map (lists comma-joined). */
+  def rasterioAttrs(nodata: Option[Double],
+                    scales: Seq[Double] = Seq(1.0),
+                    offsets: Seq[Double] = Seq(0.0),
+                    descriptions: Seq[String] = Seq.empty,
+                    units: Seq[String] = Seq.empty): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    nodata.foreach(v => b += ("_FillValue" -> v.toString))
+    if (scales.distinct.size > 1) b += ("scales" -> scales.mkString(","))
+    else scales.headOption.foreach(s => b += ("scale_factor" -> s.toString))
+    if (offsets.distinct.size > 1) b += ("offsets" -> offsets.mkString(","))
+    else offsets.headOption.foreach(o => b += ("add_offset" -> o.toString))
+    if (descriptions.exists(_ != null)) {
+      if (descriptions.distinct.size == 1) b += ("long_name" -> descriptions.head)
+      else b += ("long_name" -> descriptions.mkString(","))
+    }
+    if (units.exists(u => u != null && u.nonEmpty)) {
+      if (units.size == 1) b += ("units" -> units.head)
+      else b += ("units" -> units.mkString(","))
+    }
+    b.result()
+  }
+
   /** write_rpcs: store the RPC dict as JSON (rioxarray.py:1066-1113 — RPC CRS
     * is always EPSG:4326 per the public convention, rioxarray.py:1098). */
   def writeRpcs(r: Raster, rpc: Rpc): Raster =

@@ -49,8 +49,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** A store being CREATED as multi-variable declares `option("dataset",
+    * "true")` (there is nothing on disk to sniff yet); existing stores are
+    * sniffed from the var_name= partition layout. */
+  private def isDataset(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("dataset", false) ||
+      GraftDataSource.isDatasetStore(path(options))
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (GraftDataSource.isDatasetStore(path(options))) GraftDataSource.DatasetSchema
+    if (isDataset(options)) GraftDataSource.DatasetSchema
     else GraftDataSource.PixelSchema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -61,7 +68,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val (grid, tileSize) =
       try TileIO.readGrid(SparkSession.active, p)
       catch { case _: Exception => GraftWrite.gridFromOptions(opts.get) }
-    new GraftTable(p, grid, tileSize, GraftDataSource.isDatasetStore(p))
+    new GraftTable(p, grid, tileSize, isDataset(opts))
   }
 }
 

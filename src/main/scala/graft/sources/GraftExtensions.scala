@@ -39,7 +39,10 @@ object GraftWriteDistributionRule extends Rule[LogicalPlan] {
     def key(name: String): Option[Expression] =
       output.find(_.name == name).map(a =>
         Floor(Divide(Cast(a, DoubleType), Literal(ts.toDouble))))
-    for (r <- key("row"); c <- key("col")) yield Seq(r, c)
+    // dataset stores cluster additionally on var_name so each (var, tile)
+    // lands wholly in one task
+    val varKey = output.find(_.name == "var_name").toSeq
+    for (r <- key("row"); c <- key("col")) yield varKey ++ Seq(r, c)
   }
 
   private def clustered(query: LogicalPlan, ts: Int): LogicalPlan = query match {

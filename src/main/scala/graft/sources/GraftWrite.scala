@@ -18,11 +18,14 @@ import scala.collection.mutable
   * .mode("overwrite").option(...).save(path)` over the canonical pixel
   * schema.
   *
-  * Distribution: the Write declares `RequiresDistributionAndOrdering`
-  * clustered on (floor(row/ts), floor(col/ts)), so Spark itself plans the
-  * one shuffle that co-locates every tile inside a single task — callers
-  * write un-clustered input and get a correct plan with no manual
-  * repartition. The contract is still not trusted — it is ENFORCED by the
+  * Distribution: [[GraftWriteDistributionRule]] (session extensions)
+  * injects the (var_name?, floor(row/ts), floor(col/ts)) clustering
+  * exchange, so Spark itself plans the one shuffle that co-locates every
+  * tile inside a single task — callers write un-clustered input and get a
+  * correct plan with no manual repartition (see the
+  * RequiresDistributionAndOrdering note below for why the connector
+  * interface can't express this). The contract is still not trusted — it
+  * is ENFORCED by the
   * commit protocol: every task stages its file under _staging-<queryId>/,
   * tracks per-tile DISTINCT pixel coverage in a bitset (a duplicate
   * (row,col) fails fast in the task; a count can't be faked by dup+miss
@@ -77,7 +80,10 @@ object GraftWrite {
   }
 }
 
-case class GraftCommitMessage(file: String, tileCounts: Map[(Long, Long), Long])
+/** files: (absolute staged path, var_name or null); tileCounts keyed by
+  * (var_name or "", tile_row, tile_col). */
+case class GraftCommitMessage(files: Seq[(String, String)],
+                              tileCounts: Map[(String, Long, Long), Long])
     extends WriterCommitMessage
 
 class GraftWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -117,7 +123,8 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftWriterFactory(path, staging.toString, grid, ts,
-      schema.fieldIndex("row"), schema.fieldIndex("col"), schema.fieldIndex("value"))
+      schema.fieldIndex("row"), schema.fieldIndex("col"), schema.fieldIndex("value"),
+      if (schema.fieldNames.contains("var_name")) schema.fieldIndex("var_name") else -1)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.map(_.asInstanceOf[GraftCommitMessage])
@@ -128,29 +135,39 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
     val full = ts.toLong * ts
     val nTx = (grid.width + ts - 1) / ts
     val nTy = (grid.height + ts - 1) / ts
-    val seen = mutable.Map.empty[(Long, Long), Long]
+    val seen = mutable.Map.empty[(String, Long, Long), Long]
     msgs.foreach(_.tileCounts.foreach { case (k, n) =>
       require(!seen.contains(k),
         s"tile $k written by more than one task — input is not tile-clustered; " +
-          s"repartition by (row div $ts, col div $ts) before writing")
+          s"repartition by (var_name, row div $ts, col div $ts) before writing")
       seen(k) = n
     })
     seen.foreach { case (k, n) =>
       require(n == full, s"tile $k covers $n of $full distinct pixels — sparse input")
     }
-    require(seen.size == nTx.toLong * nTy,
-      s"store incomplete: ${seen.size} of ${nTx.toLong * nTy} tiles written")
+    // every variable present must be a COMPLETE raster (writeDatasetTiles
+    // parity); a flat write is the single variable ""
+    val vars = seen.keys.map(_._1).toSet
+    vars.foreach { v =>
+      val got = seen.count(_._1._1 == v)
+      require(got == nTx.toLong * nTy,
+        s"store incomplete for ${if (v.isEmpty) "store" else s"var '$v'"}: " +
+          s"$got of ${nTx.toLong * nTy} tiles written")
+    }
     val conf = new Configuration()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
 
     // complete the staging dir into a self-contained generation: _index from
     // the tasks' own tile ranges (no footer re-reads), then the _grid sidecar
-    val ranges = msgs.filter(_.file != null).map { m =>
-      val trs = m.tileCounts.keys.map(_._1); val tcs = m.tileCounts.keys.map(_._2)
-      StoreLayout.FileRange(new Path(m.file).getName, null,
-        trs.min, trs.max, tcs.min, tcs.max)
-    }
+    val ranges = msgs.flatMap(m => m.files.map { case (f, v) =>
+      val vv = if (v == null) "" else v
+      val keys = m.tileCounts.keys.filter(_._1 == vv).toSeq
+      val rel = (if (vv.isEmpty) "" else s"var_name=$vv/") + new Path(f).getName
+      StoreLayout.FileRange(rel, if (vv.isEmpty) null else vv,
+        keys.map(_._2).min, keys.map(_._2).max,
+        keys.map(_._3).min, keys.map(_._3).max)
+    })
     StoreLayout.writeIndex(conf, staging, ranges.toSeq)
     val gridDir = new Path(staging, "_grid")
     fs.mkdirs(gridDir)
@@ -200,10 +217,10 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
 }
 
 case class GraftWriterFactory(path: String, staging: String, grid: GridRef, ts: Int,
-                              rowIdx: Int, colIdx: Int, valIdx: Int)
+                              rowIdx: Int, colIdx: Int, valIdx: Int, varIdx: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(staging, grid, ts, rowIdx, colIdx, valIdx, partitionId, taskId)
+    new GraftDataWriter(staging, grid, ts, rowIdx, colIdx, valIdx, varIdx, partitionId, taskId)
 }
 
 /** Accumulates this task's tiles in memory (a task owns whole tiles under
@@ -211,16 +228,18 @@ case class GraftWriterFactory(path: String, staging: String, grid: GridRef, ts: 
   * working set any dense tile writer needs), stages ONE parquet file on
   * commit, reports per-tile counts. */
 class GraftDataWriter(staging: String, grid: GridRef, ts: Int,
-                      rowIdx: Int, colIdx: Int, valIdx: Int,
+                      rowIdx: Int, colIdx: Int, valIdx: Int, varIdx: Int,
                       partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val tiles = mutable.Map.empty[(Long, Long), (Array[Double], java.util.BitSet)]
+  private val tiles = mutable.Map.empty[(String, Long, Long), (Array[Double], java.util.BitSet)]
 
   override def write(r: InternalRow): Unit = {
     val row = r.getLong(rowIdx); val col = r.getLong(colIdx)
     val v = r.getLong(valIdx).toDouble
-    val k = (row / ts, col / ts)
+    // UTF8String buffers are reused by the scan: materialize the var key
+    val vn = if (varIdx < 0) "" else r.getUTF8String(varIdx).toString
+    val k = (vn, row / ts, col / ts)
     val (data, covered) = tiles.getOrElseUpdate(k, {
       // defense in depth: a pixel the coverage check somehow missed would
       // hold nodata, never a silent 0.0
@@ -236,33 +255,39 @@ class GraftDataWriter(staging: String, grid: GridRef, ts: Int,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (tiles.isEmpty) return GraftCommitMessage(null, Map.empty)
+    if (tiles.isEmpty) return GraftCommitMessage(Seq.empty, Map.empty)
     val conf = new Configuration()
-    val file = new Path(staging, f"part-$partitionId%05d-$taskId.parquet")
-    val writer = ExampleParquetWriter.builder(
-        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
-      .withType(GraftWrite.tileSchema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
-    val factory = new SimpleGroupFactory(GraftWrite.tileSchema)
-    val t = grid.transform
-    // Hilbert-sorted within the task file so row-group stats stay tight
-    val ordered = tiles.toSeq.sortBy { case ((tr, tc), _) =>
-      Cells.hilbertOfCell(cellOf(tr, tc))
+    // one staged file per variable this task holds (var_name=<v>/ subdir
+    // for dataset stores, staging root for flat ones)
+    val files = tiles.keys.map(_._1).toSeq.distinct.sorted.map { vn =>
+      val dir = if (vn.isEmpty) new Path(staging)
+                else new Path(staging, s"var_name=$vn")
+      val file = new Path(dir, f"part-$partitionId%05d-$taskId.parquet")
+      val writer = ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        .withType(GraftWrite.tileSchema)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+      val factory = new SimpleGroupFactory(GraftWrite.tileSchema)
+      // Hilbert-sorted within the task file so row-group stats stay tight
+      val ordered = tiles.toSeq.filter(_._1._1 == vn).sortBy { case ((_, tr, tc), _) =>
+        Cells.hilbertOfCell(cellOf(tr, tc))
+      }
+      ordered.foreach { case ((_, tr, tc), (data, _)) =>
+        val g = factory.newGroup()
+          .append("tile_row", tr).append("tile_col", tc)
+        val list = g.addGroup("data")
+        var i = 0
+        while (i < data.length) { list.addGroup("list").append("element", data(i)); i += 1 }
+        val cid = cellOf(tr, tc)
+        g.append("cell_id", cid).append("hilbert", Cells.hilbertOfCell(cid))
+          .append("h", ts).append("w", ts)
+        writer.write(g)
+      }
+      writer.close()
+      (file.toString, if (vn.isEmpty) null else vn)
     }
-    ordered.foreach { case ((tr, tc), (data, _)) =>
-      val g = factory.newGroup()
-        .append("tile_row", tr).append("tile_col", tc)
-      val list = g.addGroup("data")
-      var i = 0
-      while (i < data.length) { list.addGroup("list").append("element", data(i)); i += 1 }
-      val cid = cellOf(tr, tc)
-      g.append("cell_id", cid).append("hilbert", Cells.hilbertOfCell(cid))
-        .append("h", ts).append("w", ts)
-      writer.write(g)
-    }
-    writer.close()
-    GraftCommitMessage(file.toString,
+    GraftCommitMessage(files,
       tiles.map { case (k, (_, covered)) => k -> covered.cardinality().toLong }.toMap)
   }
 

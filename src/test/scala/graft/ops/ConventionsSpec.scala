@@ -135,6 +135,55 @@ class ConventionsSpec extends SparkTestBase {
       .exists(_.transform == g.transform))
   }
 
+  test("CF time decode: units-since strings decode to timestamps and roundtrip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(0L, 1L, 365L, 18262L).toDF("t")
+    val out = df.select(
+        CfTime.decodeColumn(col("t"), "days since 1970-01-01").as("ts"))
+      .collect().map(_.getTimestamp(0).toInstant.toString)
+    assert(out(0) == "1970-01-01T00:00:00Z")
+    assert(out(1) == "1970-01-02T00:00:00Z")
+    assert(out(2) == "1971-01-01T00:00:00Z")
+    assert(out(3) == "2020-01-01T00:00:00Z") // 18262 days since epoch
+    // hours with explicit epoch time
+    val h = Seq(25L).toDF("t").select(
+        CfTime.decodeColumn(col("t"), "hours since 2000-01-01 12:00:00").as("ts"))
+      .collect()(0).getTimestamp(0).toInstant.toString
+    assert(h == "2000-01-02T13:00:00Z")
+    // roundtrip through encode
+    val back = Seq(18262L).toDF("t")
+      .select(CfTime.decodeColumn(col("t"), "days since 1970-01-01").as("ts"))
+      .select(CfTime.encodeColumn(col("ts"), "days since 1970-01-01").as("t"))
+      .collect()(0).getDouble(0)
+    assert(back == 18262.0)
+    // the reference's decode gate
+    assert(CfTime.isCfTime("days since 1970-01-01"))
+    assert(!CfTime.isCfTime("metre"))
+    intercept[IllegalArgumentException] { CfTime.parseUnits("fortnights since 1970-01-01") }
+  }
+
+  test("rasterio band-attr collapse matches _io.py:657-702 rules") {
+    // uniform scales/offsets collapse; nodata -> _FillValue
+    val a = MetadataOps.rasterioAttrs(Some(-28672.0),
+      scales = Seq(0.1, 0.1), offsets = Seq(5.0, 5.0),
+      descriptions = Seq("band", "band"), units = Seq("m"))
+    assert(a("_FillValue") == "-28672.0")
+    assert(a("scale_factor") == "0.1" && !a.contains("scales"))
+    assert(a("add_offset") == "5.0" && !a.contains("offsets"))
+    assert(a("long_name") == "band")
+    assert(a("units") == "m")
+    // differing scales stay per-band and scale_factor is withheld
+    val b = MetadataOps.rasterioAttrs(None, scales = Seq(0.1, 0.2),
+      offsets = Seq(0.0), descriptions = Seq("nir", "red"),
+      units = Seq("m", "ft"))
+    assert(b("scales") == "0.1,0.2" && !b.contains("scale_factor"))
+    assert(b("add_offset") == "0.0")
+    assert(b("long_name") == "nir,red")
+    assert(b("units") == "m,ft")
+    assert(!b.contains("_FillValue"))
+  }
+
   test("writeCfAttrs + readCfGrid: full raster metadata roundtrip") {
     val written = writeCfAttrs(raster)
     val back = readCfGrid(written.grid.attrs, modis.width, modis.height, modis.nodata)

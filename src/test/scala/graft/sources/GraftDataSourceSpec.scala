@@ -163,6 +163,45 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(grid3 == g && ts3 == 50)
   }
 
+  test("DSv2 dataset write: var_name partitions, per-var completeness, both readers agree") {
+    val g = Synth.modisGrid
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString + "/ds-w"
+    val ds = graft.Queries.datasetPixels(spark, g, graft.Queries.dsVarSeeds)
+    ds.write.format("graft").mode("overwrite")
+      .option("dataset", "true")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    // DSv2 read path: var_name surfaces and prunes
+    val viaDsv2 = spark.read.format("graft").load(dir)
+    assert(viaDsv2.schema.fieldNames.toSeq ==
+      Seq("var_name", "row", "col", "x", "y", "value"))
+    val direct = ds.collect().map(_.toSeq).toSet
+    assert(viaDsv2.collect().map(_.toSeq).toSet == direct)
+    // TileIO dataset reader sees the same store
+    val viaTileIO = TileIO.readDatasetPixels(spark, dir)._1
+      .select("var_name", "row", "col", "x", "y", "value")
+      .collect().map(_.toSeq).toSet
+    assert(viaTileIO == direct)
+    // per-var pruning through the index
+    val one = viaDsv2.filter(org.apache.spark.sql.functions.col("var_name") === "red")
+    assert(one.count() == 200 * 200)
+    // a write missing one tile of ONE var must abort whole-store
+    val holed = ds.filter(!(col("var_name") === "nir" && col("row") < 50 && col("col") < 50))
+    val bad = intercept[Exception] {
+      holed.write.format("graft").mode("overwrite")
+        .option("dataset", "true")
+        .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+        .option("width", "200").option("height", "200")
+        .option("nodata", "-28672.0").option("tile_size", "50")
+        .save(dir)
+    }
+    assert(bad.getMessage != null)
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == direct,
+      "failed dataset write must leave the old store live")
+  }
+
   test("scan plans from the _index sidecar, not per-file footers") {
     // the shared TileIO store now carries an _index; pruning must still hold
     val fs = new org.apache.hadoop.fs.Path(store)
