@@ -193,6 +193,10 @@ object Cells {
   private def r9(v: Double): Double =
     BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The ROUND(,9) cross-engine guard, exposed for static kernels that
+    * must mirror [[s2CellId]]'s floor exactly (functions.S2RectCover). */
+  def r9Public(v: Double): Double = r9(v)
+
   def s2CellId(lonDeg: Double, latDeg: Double, level: Int): Long = {
     val n = 1L << level
     val (f, u, v) = s2FaceUv(lonDeg, latDeg)

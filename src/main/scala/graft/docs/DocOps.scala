@@ -229,52 +229,18 @@ object DocOps {
     * the lattice branch, preserving totality. At 10^12 docs this turns the
     * worst doc op from 81 rows+dedup per doc into ~#cells rows, shuffle-free. */
   def geomCellCoverS2Rect(docsSpans: DataFrame, grid: GridRef, level: Int,
-                          latticeSamples: Int = 9): DataFrame = {
-    val bbox = geomBbox(docsSpans, grid)
-    val cornerCols = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
-                         ("lon_min", "lat_max"), ("lon_max", "lat_max"))
-    val fuv = cornerCols.map { case (lo, la) =>
-      Cells.s2FaceUvColumns(col(lo), col(la)) }
-    val f1 = fuv.head._1
-    val faceOk = fuv.tail.map(_._1 === f1).reduce(_ && _)
-    val no90 = floor(col("lon_min") / 90.0) === floor(col("lon_max") / 90.0)
-    val ok = faceOk && no90
-    val annotated = bbox.select(col("doc_id"),
-      col("lon_min"), col("lon_max"), col("lat_min"), col("lat_max"),
-      f1.as("f"),
-      least(fuv.map(_._2): _*).as("u_lo"), greatest(fuv.map(_._2): _*).as("u_hi"),
-      least(fuv.map(_._3): _*).as("v_lo"), greatest(fuv.map(_._3): _*).as("v_hi"),
-      ok.as("ok"))
-    val hull = annotated.filter(col("ok"))
-      .select(col("doc_id"), col("f"),
-        Cells.s2StIdxColumn(col("u_lo"), level).as("s0"),
-        Cells.s2StIdxColumn(col("u_hi"), level).as("s1"),
-        Cells.s2StIdxColumn(col("v_lo"), level).as("t0"),
-        Cells.s2StIdxColumn(col("v_hi"), level).as("t1"))
-      .select(col("doc_id"), col("f"), col("t0"), col("t1"),
-        explode(sequence(col("s0"), col("s1"))).as("si"))
-      .select(col("doc_id"), col("f"), col("si"),
-        explode(sequence(col("t0"), col("t1"))).as("ti"))
+                          latticeSamples: Int = 9): DataFrame =
+    // ONE static-kernel call per doc (functions.S2RectCover: exact st-rect
+    // hull on a single face, distinct lattice as the multi-face fallback)
+    // + one explode. A first pure-Column formulation inlined the 4-corner
+    // face/uv CASE trees twice across a union and ran INTERPRETED past the
+    // JIT threshold — 4x slower than the lattice it replaced; the kernel
+    // form is the LshBuckets lesson applied again (see S2RectCover doc).
+    geomBbox(docsSpans, grid)
       .select(col("doc_id"),
-        shiftleft(shiftleft(col("f"), 2 * level)
-          .bitwiseOR(Cells.mortonColumn(col("si"), col("ti"), level)), 5)
-          .bitwiseOR(lit(level.toLong)).as("cell_id"))
-    val k = (latticeSamples - 1).toDouble
-    val fallback = annotated.filter(!col("ok"))
-      .select(col("doc_id"), col("lon_min"), col("lon_max"),
-              col("lat_min"), col("lat_max"))
-      .select(col("*"), explode(sequence(lit(0), lit(latticeSamples - 1))).as("i"))
-      .select(col("*"), explode(sequence(lit(0), lit(latticeSamples - 1))).as("j"))
-      .select(col("doc_id"),
-        (col("lon_min") + (col("lon_max") - col("lon_min")) *
-          (col("i").cast("double") / lit(k))).as("lon"),
-        (col("lat_min") + (col("lat_max") - col("lat_min")) *
-          (col("j").cast("double") / lit(k))).as("lat"))
-      .select(col("doc_id"),
-        Cells.s2CellIdColumn(col("lon"), col("lat"), level).as("cell_id"))
-      .distinct()
-    hull.unionByName(fallback)
-  }
+        explode(graft.functions.S2RectCover.column(
+          col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"),
+          level, latticeSamples)).as("cell_id"))
 
   def geomCellCoverS2Sql(table: String, grid: GridRef, level: Int,
                          samples: Int = 9): String = {

@@ -130,6 +130,39 @@ class MetaBandStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("rate-limited ingest e2e: rate source -> stateful tile assembly -> sink, exact tiles") {
+    // a true end-to-end run off Spark's rate-limited source: pixels arrive
+    // at a bounded rows/sec, the keyed-state assembler emits each tile the
+    // moment it completes, and every emitted tile is positionally exact
+    val ts = 20; val w = 200
+    val rate = spark.readStream.format("rate")
+      .option("rowsPerSecond", "30000").load()
+    val pxStream = rate.select(
+      expr(s"value div $w").as("row"),
+      (col("value") % w).as("col"),
+      (expr(s"value div $w") * 31 + (col("value") % w) * 17).as("value"))
+    val q = StreamingOps.streamingTileAssembly(pxStream, ts)
+      .writeStream.format("memory").queryName("rate_tiles")
+      .outputMode("append").start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emitted(): Long = spark.table("rate_tiles").count()
+      while (emitted() < 3 && System.nanoTime() < deadline) Thread.sleep(250)
+      assert(emitted() >= 3, "rate ingest produced no complete tiles in 60s")
+    } finally q.stop()
+    val tiles = spark.table("rate_tiles")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getSeq[Double](2)))
+    assert(tiles.map(_._1).distinct.length == tiles.length, "each tile emits once")
+    tiles.foreach { case ((tr, tc), data) =>
+      assert(data.length == ts * ts)
+      for (i <- 0 until ts * ts) {
+        val row = tr * ts + i / ts; val colv = tc * ts + i % ts
+        assert(data(i) == (row * 31 + colv * 17).toDouble,
+          s"tile ($tr,$tc) idx $i")
+      }
+    }
+  }
+
   test("streaming ingest: watermarked windowed cell counts over doc spans") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
