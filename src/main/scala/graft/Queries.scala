@@ -219,6 +219,25 @@ object Queries {
     WarpOps.reprojectNearest(Raster(Synth.pixels(spark, modis), modis),
                              Synth.matchUtmGrid).df.orderBy("row", "col")
 
+  /** Geolocation-array warp (the 4th georeferencing mode,
+    * raster_array.py:367-375 src_geoloc_array): the source carries
+    * per-pixel lon/lat — here the sinusoidal inverse of each pixel centre
+    * plus a deterministic polynomial wiggle (a synthetic swath), so both
+    * engines derive identical geolocation fields. Forward-scatter nearest
+    * onto the WGS84 grid. */
+  def geolocSrc(spark: SparkSession): DataFrame = {
+    val px = Synth.pixels(spark, modis)
+    val (lon0, lat0) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
+    px.select(col("row"), col("col"),
+      (lon0 + ((col("row") * 7 + col("col") * 11) % 13 - 6).cast("double") * lit(2.0e-4)).as("lon"),
+      (lat0 + ((col("row") * 5 + col("col") * 3) % 11 - 5).cast("double") * lit(2.0e-4)).as("lat"),
+      col("value"))
+  }
+
+  def qReprojectGeoloc(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectGeolocNearest(geolocSrc(spark), reprojDst)
+      .df.orderBy("row", "col")
+
   /** bilinear reproject onto the WGS84 grid (oracle-gated: sinu->longlat is
     * fully ANSI-SQL-expressible, same trick as the nearest oracle). */
   def qReprojectBilinear(spark: SparkSession, sfDir: String): DataFrame =
@@ -490,6 +509,12 @@ object Queries {
   def qKnnKdtreeQs(spark: SparkSession, sfDir: String): DataFrame =
     KnnOps.knnKdTreeQuerySide(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
       cellSize = 4632.0, ring = 3).orderBy("q_id", "rank")
+
+  /** Hex-ring probe variant (19-vs-25-bucket probe economy at equal
+    * guarantee radius); same brute-force oracle. */
+  def qKnnHexRing(spark: SparkSession, sfDir: String): DataFrame =
+    KnnOps.knnHexRing(knnQueryPoints(spark), knnTargetPoints(spark), knnK,
+      cellSize = 4632.0, ring = 4).orderBy("q_id", "rank")
 
   // ---- text / dedup / ann / docs (training-data pipeline ops) -------------
 
@@ -781,6 +806,20 @@ object Queries {
 
     def reprojectRpcs: String =
       WarpOps.rpcNearestSql(rpcDst, rpcFixture, 0.0, pxSrcSql)
+
+    def reprojectGeoloc: String = {
+      val (r, lon0) = (6371007.181, 0.0)
+      val latE = s"(y / $r) / ${WarpOps.D2R}"
+      val lonE = s"(x / ($r * COS(y / $r))) / ${WarpOps.D2R} + $lon0"
+      val d = WarpOps.dlit(2.0e-4)
+      val src =
+        s"""SELECT row, col,
+           |  ($lonE) + CAST((row * 7 + col * 11) % 13 - 6 AS DOUBLE) * $d AS lon,
+           |  ($latE) + CAST((row * 5 + col * 3) % 11 - 5 AS DOUBLE) * $d AS lat,
+           |  value
+           |FROM (${Synth.pixelsSql(modis)})""".stripMargin
+      WarpOps.geolocNearestSql(src, reprojDst)
+    }
 
     def maskScale: String =
       MetadataOps.maskAndScaleSql(px, modis.nodata.toLong, msScale, msOffset)

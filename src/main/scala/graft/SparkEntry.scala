@@ -48,6 +48,7 @@ object SparkEntry {
     "q_reproject_gcps" -> (Queries.qReprojectGcps _),
     "q_reproject_gcps_affine" -> (Queries.qReprojectGcpsAffine _),
     "q_reproject_rpcs" -> (Queries.qReprojectRpcs _),
+    "q_reproject_geoloc" -> (Queries.qReprojectGeoloc _),
     "q_resample_average" -> (Queries.qResampleAverage _),
     "q_resample_min" -> (Queries.qResampleDown("min") _),
     "q_resample_max" -> (Queries.qResampleDown("max") _),
@@ -73,6 +74,7 @@ object SparkEntry {
     "q_knn" -> (Queries.qKnn _),
     "q_knn_kdtree" -> (Queries.qKnnKdtree _),
     "q_knn_kdtree_qs" -> (Queries.qKnnKdtreeQs _),
+    "q_knn_hexring" -> (Queries.qKnnHexRing _),
     "q_text_quality" -> (Queries.qTextQuality _),
     "q_lang_id" -> (Queries.qLangId _),
     "q_token_count" -> (Queries.qTokenCount _),
@@ -154,6 +156,7 @@ object SparkEntry {
       "q_reproject_gcps" -> Oracles.reprojectGcps,
       "q_reproject_gcps_affine" -> Oracles.reprojectGcpsAffine,
       "q_reproject_rpcs" -> Oracles.reprojectRpcs,
+      "q_reproject_geoloc" -> Oracles.reprojectGeoloc,
       "q_resample_average" -> Oracles.resampleAverage,
       "q_resample_min" -> Oracles.resampleDown("min"),
       "q_resample_max" -> Oracles.resampleDown("max"),
@@ -180,6 +183,7 @@ object SparkEntry {
       "q_knn" -> Oracles.knn,
       "q_knn_kdtree" -> Oracles.knn,
       "q_knn_kdtree_qs" -> Oracles.knn,
+      "q_knn_hexring" -> Oracles.knn,
       "q_text_quality" -> Oracles.textQuality,
       "q_lang_id" -> Oracles.langId,
       "q_token_count" -> Oracles.tokenCount,

@@ -196,6 +196,46 @@ object KnnOps {
     }.toDF("q_id", "t_id", "dist2", "rank")
   }
 
+  /** Hex-ring kNN: buckets are H3-style hex cells over the scaled plane
+    * and each query probes its axial kRing — 3k²+3k+1 buckets instead of
+    * the square ring's (2k+1)² (19 vs 25 at ring 2: ~25% fewer probe
+    * buckets for the same guarantee radius, the practical payoff of the
+    * north_rule's hex adjacency). `cellSize` is the hex circumradius in
+    * planar units; exact when the k-th NN lies within the kRing's covered
+    * radius (≥ (ring-1)·√3·cellSize; spec-asserted vs brute force at the
+    * fixture's margins). Same plan shape as [[knnCellJoin]]: equi-join on
+    * the packed hex id, one window top-k. */
+  def knnHexRing(queries: DataFrame, targets: DataFrame, k: Int,
+                 cellSize: Double, ring: Int = 2): DataFrame = {
+    import graft.core.Hex
+    val res = 0 // scaling rides on cellSize; res-0 rotation is identity
+    val bias = 1L << 28
+    def cell(x: Column, y: Column): Column =
+      Hex.cellIdColumn(x / cellSize * Hex.size(res), y / cellSize * Hex.size(res), res)
+    val tb = targets.withColumn("hb", cell(col("tx"), col("ty")))
+    val qc = queries.withColumn("hc", cell(col("qx"), col("qy")))
+      // unpack axial (q, r) from the id with plain bit arithmetic
+      .withColumn("hq", shiftright(col("hc"), 5 + 29) - bias)
+      .withColumn("hr", shiftright(col("hc"), 5).bitwiseAND(lit((1L << 29) - 1)) - bias)
+    val offsets = (for {
+      dq <- -ring to ring
+      dr <- math.max(-ring, -dq - ring) to math.min(ring, -dq + ring)
+    } yield struct(lit(dq.toLong).as("dq"), lit(dr.toLong).as("dr")))
+    val qb = qc
+      .select(col("*"), explode(array(offsets: _*)).as("o"))
+      .withColumn("hb",
+        shiftleft(shiftleft(col("hq") + col("o.dq") + bias, 29)
+          .bitwiseOR(col("hr") + col("o.dr") + bias), 5)
+          .bitwiseOR(lit(res.toLong)))
+      .drop("o", "hc", "hq", "hr")
+    val joined = qb.join(tb, Seq("hb"))
+      .withColumn("dist2", dist2(col("qx"), col("qy"), col("tx"), col("ty")))
+    val w = Window.partitionBy("q_id").orderBy(col("dist2"), col("t_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "t_id", "dist2", "rank")
+  }
+
   /** Grid-bucketed kNN: exact when the k-th NN is within ring*cellSize. */
   def knnCellJoin(queries: DataFrame, targets: DataFrame, k: Int,
                   cellSize: Double, ring: Int = 2): DataFrame = {

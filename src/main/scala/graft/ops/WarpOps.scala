@@ -1225,4 +1225,85 @@ object WarpOps {
        |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
        |ORDER BY k.row, k.col""".stripMargin
   }
+
+  // ---- geolocation-array warp (raster_array.py:367-375 src_geoloc_array) --
+
+  /** reproject from GEOLOCATION ARRAYS — the fourth georeferencing mode
+    * (after affine, GCPs, RPCs): the source carries a per-pixel lon/lat
+    * table instead of an affine (swath data; the reference forwards
+    * `src_geoloc_array` to GDAL's geolocation transformer,
+    * raster_array.py:367-375).
+    *
+    * Spark-first realization is a FORWARD scatter, not an inverse lookup
+    * (there is no closed-form inverse of an irregular geolocation field):
+    * every source pixel's geolocation projects into the destination grid
+    * (one codegen'd map), then ONE map-side-combinable aggregate picks the
+    * nearest contributor per destination pixel — min over the struct
+    * (dist², src_row, src_col, value), so ties break deterministically on
+    * source position. Uncovered destination pixels fill nodata via a
+    * skeleton left join. Two shuffles total (aggregate + skeleton join),
+    * both keyed by destination pixel; at 100 TB both sides pre-bucket by
+    * dst tile so the join co-locates.
+    *
+    * `src`: (row, col, lon, lat, value); `dst` must be north-up
+    * rectilinear (b = d = 0), like every dst grid the engine emits. */
+  def reprojectGeolocNearest(src: DataFrame, dst: GridRef): Raster = {
+    val spark = src.sparkSession
+    val t = dst.transform
+    require(t.b == 0 && t.d == 0, "geoloc warp needs a north-up rectilinear dst")
+    val nodata = dst.nodata.toLong
+    val pcol = floor(round((col("lon") - t.c) / t.a, 9))
+    val prow = floor(round((col("lat") - t.f) / t.e, 9))
+    val cx = lit(t.a) * (col("pcol") + 0.5d) + lit(t.c)
+    val cy = lit(t.e) * (col("prow") + 0.5d) + lit(t.f)
+    val d2 = (col("lon") - cx) * (col("lon") - cx) +
+             (col("lat") - cy) * (col("lat") - cy)
+    val chosen = src
+      .withColumn("pcol", pcol).withColumn("prow", prow)
+      .filter(col("pcol") >= 0 && col("pcol") < dst.width &&
+              col("prow") >= 0 && col("prow") < dst.height)
+      .withColumn("d2", d2)
+      .groupBy(col("prow").as("row"), col("pcol").as("col"))
+      .agg(min(struct(col("d2"), col("row").as("srow"), col("col").as("scol"),
+        col("value"))).as("best"))
+      .select(col("row"), col("col"), col("best.value").as("v"))
+    val skeleton = spark.range(dst.width.toLong * dst.height)
+      .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
+    val out = skeleton.join(chosen, Seq("row", "col"), "left")
+      .withColumn("value", coalesce(col("v"), lit(nodata)))
+      .withColumn("x", Synth.xColumn(dst, col("col")))
+      .withColumn("y", Synth.yColumn(dst, col("row")))
+      .select("row", "col", "x", "y", "value")
+    Raster(out, dst)
+  }
+
+  /** DuckDB mirror of [[reprojectGeolocNearest]] over a source SQL with
+    * (row, col, lon, lat, value) columns. */
+  def geolocNearestSql(srcSql: String, dst: GridRef): String = {
+    val t = dst.transform
+    val a = dlit(t.a); val c = dlit(t.c); val e = dlit(t.e); val f = dlit(t.f)
+    val cx = s"($a * (pcol + 0.5) + $c)"
+    val cy = s"($e * (prow + 0.5) + $f)"
+    s"""WITH _gsrc AS ($srcSql),
+       |_proj AS (SELECT row AS srow, col AS scol, value, lon, lat,
+       |    CAST(FLOOR(ROUND((lon - $c) / $a, 9)) AS BIGINT) AS pcol,
+       |    CAST(FLOOR(ROUND((lat - $f) / $e, 9)) AS BIGINT) AS prow
+       |  FROM _gsrc),
+       |_flt AS (SELECT * FROM _proj
+       |  WHERE pcol >= 0 AND pcol < ${dst.width} AND prow >= 0 AND prow < ${dst.height}),
+       |_d AS (SELECT *, (lon - $cx) * (lon - $cx) + (lat - $cy) * (lat - $cy) AS d2
+       |  FROM _flt),
+       |_r AS (SELECT prow, pcol, value,
+       |    row_number() OVER (PARTITION BY prow, pcol ORDER BY d2, srow, scol) AS rn
+       |  FROM _d),
+       |_ch AS (SELECT prow, pcol, value FROM _r WHERE rn = 1),
+       |_g AS (SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |              CAST(i % ${dst.width} AS BIGINT) AS col
+       |       FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i))
+       |SELECT g.row, g.col,
+       |  ${Synth.xSql(dst)} AS x, ${Synth.ySql(dst)} AS y,
+       |  COALESCE(ch.value, ${dst.nodata.toLong}) AS value
+       |FROM _g g LEFT JOIN _ch ch ON g.row = ch.prow AND g.col = ch.pcol
+       |ORDER BY row, col""".stripMargin
+  }
 }

@@ -46,6 +46,24 @@ class KnnOpsSpec extends SparkTestBase {
     assert(qsS == bfS)
   }
 
+  test("hex-ring kNN equals brute force with 3k^2+3k+1 probes per query") {
+    val q = Queries.knnQueryPoints(spark)
+    val t = Queries.knnTargetPoints(spark)
+    val bf = KnnOps.knnBruteForce(q, t, 5).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    val hex = KnnOps.knnHexRing(q, t, 5, cellSize = 4632.0, ring = 4).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(hex.size == bf.size)
+    assert(hex == bf, "hex-ring kNN must match brute force under the ring guarantee")
+    // probe economy: ring 4 probes 61 hex buckets vs 81 square buckets
+    assert(3 * 4 * 4 + 3 * 4 + 1 == 61 && (2 * 4 + 1) * (2 * 4 + 1) == 81)
+    // plan is an equi-join, not a cartesian
+    val plan = KnnOps.knnHexRing(q, t, 5, cellSize = 4632.0, ring = 2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"hex kNN must equi-join:\n$plan")
+  }
+
   test("k-d tree query matches linear scan on adversarial point sets") {
     val rnd = new scala.util.Random(7)
     // duplicated coordinates + collinear runs stress the tie-breaks
