@@ -146,6 +146,38 @@ class DocOpsSpec extends SparkTestBase {
     }
   }
 
+  test("spatial join degrades to sort-merge on cell_id when broadcast is off (north_rule)") {
+    // the same doc x tile spatial join must be a plain equi-join on cell_id
+    // so Catalyst can pick broadcast (small tile side) OR sort-merge (both
+    // sides huge, pre-bucketed by Hilbert ranges at corpus scale). Force the
+    // sort-merge arm and assert identical output.
+    val broadcastResult = DocOps.spatialTileAssignments(spans, Synth.modisGrid, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // strip the explicit broadcast hint by rebuilding the join manually
+      val cover = DocOps.geomCellCover(spans, Synth.modisGrid, 12)
+      val tilePx = Synth.modisGrid.width / DocOps.TileGridN
+      val t = Synth.modisGrid.transform
+      val tiles = spark.range(DocOps.TileGridN.toLong * DocOps.TileGridN)
+        .select(col("id").as("tile_id"),
+          (expr(s"id div ${DocOps.TileGridN}") * tilePx + tilePx / 2.0).as("prow"),
+          (col("id") % DocOps.TileGridN * tilePx + tilePx / 2.0).as("pcol"))
+      val tx = lit(t.a) * col("pcol") + lit(t.c)
+      val ty = lit(t.e) * col("prow") + lit(t.f)
+      val (lon, lat) = graft.ops.WarpOps.inverseColumns(Synth.modisGrid.crs, tx, ty)
+      val tileCells = tiles.select(col("tile_id"),
+        Cells.cellIdColumn(lon, lat, 12).as("cell_id"))
+      val joined = cover.join(tileCells, "cell_id").select("doc_id", "tile_id")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      val smResult = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(smResult == broadcastResult,
+        "sort-merge and broadcast arms must produce identical assignments")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("spatial doc-tile join: assignments match pure-Scala recompute") {
     val level = 12
     val got = DocOps.spatialTileAssignments(spans, Synth.modisGrid, level)
