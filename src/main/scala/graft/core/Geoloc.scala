@@ -269,4 +269,16 @@ object Json {
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   def parse(s: String): com.fasterxml.jackson.databind.JsonNode =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+
+  /** String-map <-> JSON object (attrs persistence in the _grid sidecar). */
+  def obj(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${str(k)}: ${str(v)}" }
+      .mkString("{", ", ", "}")
+  def toMap(json: String): Map[String, String] = {
+    val node = parse(json)
+    val it = node.fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+    b.result()
+  }
 }

@@ -64,6 +64,7 @@ object GraftWrite {
       |  required double td; required double te; required double tf;
       |  required int32 width; required int32 height;
       |  required double nodata; required int32 tile_size;
+      |  optional binary attrs (UTF8);
       |}""".stripMargin)
 
   /** Grid parsed from writer options (a fresh store has no sidecar yet). */
@@ -74,8 +75,9 @@ object GraftWrite {
         "(crs, transform, width, height, nodata, tile_size)")
       v
     }
+    val attrs = Option(get("attrs")).map(graft.core.Json.toMap).getOrElse(Map.empty)
     (GridRef(Crs.parse(req("crs")), Affine.fromGdal(req("transform")),
-       req("width").toInt, req("height").toInt, req("nodata").toDouble),
+       req("width").toInt, req("height").toInt, req("nodata").toDouble, attrs),
      req("tile_size").toInt)
   }
 }
@@ -185,6 +187,7 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
       .append("td", t.d).append("te", t.e).append("tf", t.f)
       .append("width", grid.width).append("height", grid.height)
       .append("nodata", grid.nodata).append("tile_size", ts)
+    if (grid.attrs.nonEmpty) g.append("attrs", graft.core.Json.obj(grid.attrs))
     w.write(g); w.close()
 
     // promote: ONE rename, then the atomic marker creation = commit point

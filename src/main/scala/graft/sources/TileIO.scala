@@ -66,10 +66,12 @@ object TileIO {
     StoreLayout.buildIndexFromFooters(
       spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(path))
     import spark.implicits._
+    // attrs ride along as JSON so CF/Zarr exports, GCPs, RPCs and the
+    // encoding chain survive the write/read roundtrip
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
-         g.width, g.height, g.nodata, tileSize))
-      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size")
+         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs)))
+      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs")
       .write.mode("overwrite").parquet(s"$path/_grid")
   }
 
@@ -112,10 +114,12 @@ object TileIO {
     StoreLayout.buildIndexFromFooters(
       spark.sessionState.newHadoopConf(), new org.apache.hadoop.fs.Path(path))
     import spark.implicits._
+    // attrs ride along as JSON so CF/Zarr exports, GCPs, RPCs and the
+    // encoding chain survive the write/read roundtrip
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
-         g.width, g.height, g.nodata, tileSize))
-      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size")
+         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs)))
+      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs")
       .write.mode("overwrite").parquet(s"$path/_grid")
   }
 
@@ -165,11 +169,19 @@ object TileIO {
   }
 
   def readGrid(spark: SparkSession, path: String): (GridRef, Int) = {
-    val r = spark.read.parquet(s"${dataDir(spark, path)}/_grid").collect()(0)
+    val df = spark.read.parquet(s"${dataDir(spark, path)}/_grid")
+    val r = df.collect()(0)
+    // attrs column is optional (pre-round-3 stores; the DSv2 sidecar adds it
+    // at its own schema version)
+    val attrs =
+      if (df.schema.fieldNames.contains("attrs") && r.getAs[String]("attrs") != null)
+        Json.toMap(r.getAs[String]("attrs"))
+      else Map.empty[String, String]
     (GridRef(Crs.parse(r.getAs[String]("crs")),
       Affine(r.getAs[Double]("ta"), r.getAs[Double]("tb"), r.getAs[Double]("tc"),
              r.getAs[Double]("td"), r.getAs[Double]("te"), r.getAs[Double]("tf")),
-      r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Double]("nodata")),
+      r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Double]("nodata"),
+      attrs),
      r.getAs[Int]("tile_size"))
   }
 

@@ -184,6 +184,28 @@ class ConventionsSpec extends SparkTestBase {
     assert(!b.contains("_FillValue"))
   }
 
+  test("attrs persist through the tile store: CF export + GCPs survive write/read") {
+    import graft.sources.TileIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-attrs").toString + "/s"
+    val gcps = Seq(
+      Gcp(row = 0, col = 0, x = -104.1, y = 45.2, z = 0, id = "1", info = ""),
+      Gcp(row = 100, col = 150, x = -103.9, y = 45.0, z = 12.5, id = "2", info = "corner"))
+    val decorated = MetadataOps.writeGcps(
+      Conventions.writeCfAttrs(
+        MetadataOps.writeEncoding(raster, scale = 0.1, offset = 5.0)),
+      gcps, Crs.WGS84)
+    TileIO.writeTiles(decorated, dir, tileSize = 50)
+    val (g2, _) = TileIO.readGrid(spark, dir)
+    // the CF grid-mapping attrs, encoding chain and GCPs all round-trip
+    assert(g2.attrs("spatial_ref:GeoTransform") == modis.transform.toGdal)
+    assert(g2.attrs("encoding:scale_factor") == "0.1")
+    val back = MetadataOps.getGcps(Raster(raster.df, g2))
+    assert(back.isDefined && back.get == gcps)
+    // and the re-opened attrs rebuild the grid through the convention layer
+    val re = readCfGrid(g2.attrs, g2.width, g2.height, g2.nodata)
+    assert(re.exists(_.transform == modis.transform))
+  }
+
   test("writeCfAttrs + readCfGrid: full raster metadata roundtrip") {
     val written = writeCfAttrs(raster)
     val back = readCfGrid(written.grid.attrs, modis.width, modis.height, modis.nodata)

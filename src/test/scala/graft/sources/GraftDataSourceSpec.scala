@@ -202,6 +202,41 @@ class GraftDataSourceSpec extends SparkTestBase {
       "failed dataset write must leave the old store live")
   }
 
+  test("crash atomicity: an unmarked generation directory is invisible to readers") {
+    val g = Synth.modisGrid
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/c1"
+    val px = Synth.pixels(spark, g)
+    px.write.format("graft").mode("overwrite")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    val before = spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet
+    // simulate a crash AFTER the promote rename but BEFORE the marker: a
+    // higher-numbered gen dir with garbage content and no _committed marker
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.GenPrefix}99.deadbeef")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "_grid"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(orphan, "part-garbage.parquet"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    // readers must still resolve the MARKED generation, untouched
+    assert(StoreLayout.liveGeneration(fs, new org.apache.hadoop.fs.Path(dir))
+      .exists(_._1 == 1L))
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+    val (g2, ts2) = TileIO.readGrid(spark, dir)
+    assert(g2 == g && ts2 == 50)
+    // the next successful commit sweeps the orphan
+    px.write.format("graft").mode("overwrite")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(!names.contains(s"${StoreLayout.GenPrefix}99.deadbeef"), "orphan must be swept")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+  }
+
   test("scan plans from the _index sidecar, not per-file footers") {
     // the shared TileIO store now carries an _index; pruning must still hold
     val fs = new org.apache.hadoop.fs.Path(store)
