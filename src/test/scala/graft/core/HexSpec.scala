@@ -65,6 +65,25 @@ class HexSpec extends SparkTestBase {
     }
   }
 
+  test("cube-round property: assigned hex centre is the nearest of all kRing centres") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 300) {
+      val lon = rnd.nextDouble() * 360 - 180
+      val lat = rnd.nextDouble() * 170 - 85
+      val res = 2 + rnd.nextInt(9)
+      val id = Hex.cellId(lon, lat, res)
+      val (clon, clat) = Hex.center(id)
+      val d0 = (lon - clon) * (lon - clon) + (lat - clat) * (lat - clat)
+      // no neighbour centre is strictly closer (ties possible only on exact
+      // hex boundaries, measure zero for random points)
+      Hex.kRing(id, 1).filter(_ != id).foreach { n =>
+        val (nlon, nlat) = Hex.center(n)
+        val dn = (lon - nlon) * (lon - nlon) + (lat - nlat) * (lat - nlat)
+        assert(dn >= d0, s"($lon,$lat) res $res: neighbour $n closer than own cell")
+      }
+    }
+  }
+
   test("aperture-7 scaling: cell size shrinks by sqrt(7) per res") {
     for (res <- 0 until 15)
       assert(math.abs(Hex.size(res) / Hex.size(res + 1) - math.sqrt(7.0)) < 1e-12)
