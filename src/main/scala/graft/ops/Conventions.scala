@@ -275,6 +275,38 @@ object Conventions {
     MetadataOps.updateAttrs(r, attrs)
   }
 
+  // ---- skip_missing_spatial_dims (raster_dataset.py per-var loops) --------
+
+  class MissingSpatialDimension(msg: String) extends RuntimeException(msg)
+
+  /** Apply a transform to the spatial variables of a dataset frame with the
+    * reference's missing-spatial-dims discipline (every RasterDataset
+    * per-variable loop, e.g. raster_dataset.py:59-142: a variable whose
+    * dims lack y/x raises MissingSpatialDimensionError unless
+    * set_options(skip_missing_spatial_dims=True), in which case it is
+    * skipped — here: passed through untouched). `varDims` declares each
+    * variable's dimension names (the engine's per-var metadata analog);
+    * undeclared variables count as spatial. */
+  def mapSpatialVars(ds: org.apache.spark.sql.DataFrame,
+                     varDims: Map[String, Seq[String]])(
+                     f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def isSpatial(v: String): Boolean = varDims.get(v).forall(dims =>
+      CfConvention.readSpatialDimensions(dims, Map.empty).isDefined)
+    val nonSpatial = varDims.keys.filterNot(isSpatial).toSeq.sorted
+    if (nonSpatial.nonEmpty && !options.skipMissingSpatialDims)
+      throw new MissingSpatialDimension(
+        s"no x or y dimensions found for variables ${nonSpatial.mkString(", ")}; " +
+          "set skip_missing_spatial_dims to skip them")
+    if (nonSpatial.isEmpty) f(ds)
+    else {
+      val spatial = f(ds.filter(!col("var_name").isin(nonSpatial: _*)))
+      val skipped = ds.filter(col("var_name").isin(nonSpatial: _*))
+      spatial.unionByName(skipped, allowMissingColumns = true)
+    }
+  }
+
   // ---- grid_mapping property (rioxarray.py:180-205) -----------------------
 
   class MultipleGridMappings(msg: String) extends RuntimeException(msg)

@@ -184,6 +184,29 @@ class ConventionsSpec extends SparkTestBase {
     assert(!b.contains("_FillValue"))
   }
 
+  test("skip_missing_spatial_dims: raise by default, pass-through when set") {
+    import org.apache.spark.sql.functions._
+    val ds = graft.Queries.datasetPixels(spark, modis, graft.Queries.dsVarSeeds)
+      .filter(col("row") < 5 && col("col") < 5)
+    val dims = Map("nir" -> Seq("y", "x"), "red" -> Seq("band")) // red lacks y/x
+    val ex = intercept[MissingSpatialDimension] {
+      mapSpatialVars(ds, dims)(_.withColumn("value", col("value") + 1))
+    }
+    assert(ex.getMessage.contains("red"))
+    val out = withOptions(GraftOptions(skipMissingSpatialDims = true)) {
+      mapSpatialVars(ds, dims)(_.withColumn("value", col("value") + 1))
+    }.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(5)).toMap
+    val in = ds.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(5)).toMap
+    in.foreach { case (k @ (v, _, _), value) =>
+      if (v == "nir") assert(out(k) == value + 1, s"$k must transform")
+      else assert(out(k) == value, s"$k must pass through untouched")
+    }
+    // all-spatial datasets run whole-frame (no split, no union)
+    val all = mapSpatialVars(ds, Map("nir" -> Seq("y", "x"), "red" -> Seq("y", "x")))(
+      _.withColumn("value", col("value") + 1))
+    assert(all.count() == ds.count())
+  }
+
   test("attrs persist through the tile store: CF export + GCPs survive write/read") {
     import graft.sources.TileIO
     val dir = java.nio.file.Files.createTempDirectory("graft-attrs").toString + "/s"
