@@ -87,10 +87,37 @@ object TileWarpBench {
     val p = Seq(pixelRun(), tileRun(), pixelRun(), tileRun())
     val pBest = Seq(p(0), p(2)).minBy(_._1)
     val tBest = Seq(p(1), p(3)).minBy(_._1)
+
+    // merge-leg decomposition: the Bench tile flagship composes
+    // mergeTiles -> warp; time each merge arm alone so the flagship's
+    // wall-clock attributes to measured stages, not inference
+    val gB = grid.copy(transform = grid.transform.windowed(side / 4.0, side / 4.0))
+    val packedB = TileWarp.pack(
+      Raster(Synth.pixels(spark, gB, seed = 777L, parallelism = cpus.toInt * 4), gB), ts).persist()
+    packedB.count()
+    def pixelMergeRun() = measure("pixel-merge")(
+      graft.ops.MergeOps.merge(Seq(pixelSrc,
+        Raster(packedB.select(col("st_row"), col("st_col"),
+            posexplode(col("data")).as(Seq("i", "dval")))
+          .withColumn("row", col("st_row") * ts + expr(s"i div $ts"))
+          .withColumn("col", col("st_col") * ts + col("i") % ts)
+          .withColumn("x", Synth.xColumn(gB, col("col")))
+          .withColumn("y", Synth.yColumn(gB, col("row")))
+          .withColumn("value", col("dval").cast("long"))
+          .select("row", "col", "x", "y", "value"), gB)), "first").df.count())
+    def tileMergeRun() = measure(s"tile-merge(ts=$ts)")(
+      graft.ops.TileMerge.mergeTiles(
+        Seq(packed -> grid, packedB -> gB), "first", ts)._1.count())
+    val m = Seq(pixelMergeRun(), tileMergeRun(), pixelMergeRun(), tileMergeRun())
+    val pmBest = Seq(m(0), m(2)).minBy(_._1)
+    val tmBest = Seq(m(1), m(3)).minBy(_._1)
+
     println(
       f"""{"side":$side,"tile":$ts,"pixel_sec":${pBest._1}%.2f,"pixel_shuffle_bytes":${pBest._2},""" +
       f""""tile_sec":${tBest._1}%.2f,"tile_shuffle_bytes":${tBest._2},""" +
-      f""""shuffle_reduction":${pBest._2.toDouble / math.max(1L, tBest._2)}%.2f}""")
+      f""""shuffle_reduction":${pBest._2.toDouble / math.max(1L, tBest._2)}%.2f,""" +
+      f""""pixel_merge_sec":${pmBest._1}%.2f,"pixel_merge_records":${pmBest._3},""" +
+      f""""tile_merge_sec":${tmBest._1}%.2f,"tile_merge_records":${tmBest._3}}""")
     spark.stop()
   }
 }
