@@ -190,13 +190,38 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
     if (grid.attrs.nonEmpty) g.append("attrs", graft.core.Json.obj(grid.attrs))
     w.write(g); w.close()
 
-    // promote: ONE rename, then the atomic marker creation = commit point
+    // promote: ONE rename, then the atomic marker creation = commit point.
+    // Concurrent writers race on the generation number: marker creation
+    // with overwrite=false is the arbiter — the loser re-promotes its gen
+    // dir under the next number and retries, so both commits land (in
+    // marker-creation order), never a torn or overwritten store.
     val prev = StoreLayout.liveGeneration(fs, root)
-    val gen = prev.map(_._1 + 1).getOrElse(1L)
-    val genDir = new Path(root, s"${StoreLayout.GenPrefix}$gen.$queryId")
+    var gen = prev.map(_._1 + 1).getOrElse(1L)
+    var genDir = new Path(root, s"${StoreLayout.GenPrefix}$gen.$queryId")
     require(fs.rename(staging, genDir), s"failed to promote $staging to $genDir")
-    val marker = new Path(root, s"${StoreLayout.MarkerPrefix}$gen.$queryId")
-    fs.create(marker, false).close() // overwrite=false: either commits or throws
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      val m = new Path(root, s"${StoreLayout.MarkerPrefix}$gen")
+      try {
+        val out = fs.create(m, false) // overwrite=false: atomic arbiter
+        try out.write(queryId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        committed = true
+      } catch {
+        case e: java.io.IOException =>
+          // a concurrent writer claimed this generation: re-promote ours
+          // under the next number and race again
+          attempts += 1
+          require(attempts < 64, s"could not claim a generation after $attempts tries: $e")
+          val next = math.max(gen + 1,
+            StoreLayout.liveGeneration(fs, root).map(_._1 + 1).getOrElse(gen + 1))
+          val nextDir = new Path(root, s"${StoreLayout.GenPrefix}$next.$queryId")
+          require(fs.rename(genDir, nextDir), s"failed to re-promote $genDir to $nextDir")
+          gen = next; genDir = nextDir
+      }
+    }
+    val marker = new Path(root, s"${StoreLayout.MarkerPrefix}$gen")
 
     // committed — sweep everything the marker made invisible: older
     // generations and their markers, legacy root-level files and sidecars.

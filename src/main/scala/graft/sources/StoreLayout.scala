@@ -43,17 +43,27 @@ object StoreLayout {
   val MarkerPrefix = "_committed-"
   val GenPrefix = "_gen-"
 
-  /** Highest committed (generation, queryId), if any marker exists. */
+  /** Highest committed (generation, queryId), if any marker exists.
+    * Marker format: `_committed-<gen>` with the owning queryId as file
+    * CONTENT — the gen-only name makes `create(overwrite=false)` a true
+    * arbiter between concurrent committers racing for the same generation
+    * number. (Legacy `_committed-<gen>.<qid>` names still parse.) */
   def liveGeneration(fs: FileSystem, root: Path): Option[(Long, String)] =
     if (!fs.exists(root)) None
     else fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(MarkerPrefix))
-      .flatMap { n =>
-        val rest = n.stripPrefix(MarkerPrefix)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(MarkerPrefix))
+      .flatMap { s =>
+        val rest = s.getPath.getName.stripPrefix(MarkerPrefix)
         val i = rest.indexOf('.')
-        if (i <= 0) None
-        else scala.util.Try((rest.take(i).toLong, rest.drop(i + 1))).toOption
+        if (i > 0)
+          scala.util.Try((rest.take(i).toLong, rest.drop(i + 1))).toOption
+        else scala.util.Try {
+          val gen = rest.toLong
+          val in = fs.open(s.getPath)
+          val qid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                    finally in.close()
+          (gen, qid)
+        }.toOption
       }
       .sortBy { case (g, q) => (g, q) }.lastOption
 

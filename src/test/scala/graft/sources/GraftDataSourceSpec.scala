@@ -140,13 +140,13 @@ class GraftDataSourceSpec extends SparkTestBase {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val names0 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
-    assert(names0.exists(_.startsWith("_committed-1.")), names0.mkString(","))
+    assert(names0.contains("_committed-1"), names0.mkString(","))
     assert(names0.exists(_.startsWith("_gen-1.")), names0.mkString(","))
 
     // a second overwrite advances the generation and sweeps the old one
     opts(px.write.format("graft").mode("overwrite")).save(dir)
     val names1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
-    assert(names1.exists(_.startsWith("_committed-2.")), names1.mkString(","))
+    assert(names1.contains("_committed-2"), names1.mkString(","))
     assert(!names1.exists(_.startsWith("_gen-1.")), "old generation must be swept")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == direct)
 
@@ -234,6 +234,19 @@ class GraftDataSourceSpec extends SparkTestBase {
       .save(dir)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
     assert(!names.contains(s"${StoreLayout.GenPrefix}99.deadbeef"), "orphan must be swept")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+
+    // concurrent-claim race: gen 3 is unclaimable (a path squatting on the
+    // marker name that liveGeneration cannot read as a marker) — the commit
+    // must re-promote under the next number instead of failing or tearing
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.MarkerPrefix}3"))
+    px.write.format("graft").mode("overwrite")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    assert(StoreLayout.liveGeneration(fs, new org.apache.hadoop.fs.Path(dir))
+      .exists(_._1 >= 4L), "claim race must advance past the squatted generation")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
   }
 
