@@ -55,6 +55,17 @@ object Bench {
     val docsPerSec = if (docSec > 0) nDocs / docSec else 0.0
     System.err.println(f"[bench] doc_pipeline ($nDocs docs): $docSec%.2f s ($docsPerSec%.0f docs/s)")
 
+    // flagship 1b/1c: the SAME pipeline over the other two DGGS families
+    // (S2 st-rect kernel cover; H3-style hex SAT cover) — min-of-2 each
+    val (docS2Sec, docHexSec) = if (attributionMode) (0.0, 0.0) else {
+      DocPipeline.runS2(spark, nDocs / 100, parallelism = cpus.toInt)
+      DocPipeline.runHex(spark, nDocs / 100, parallelism = cpus.toInt)
+      val s2 = Seq.fill(2)(time { DocPipeline.runS2(spark, nDocs, parallelism = cpus.toInt * 4) }._2).min
+      val hx = Seq.fill(2)(time { DocPipeline.runHex(spark, nDocs, parallelism = cpus.toInt * 4) }._2).min
+      (s2, hx)
+    }
+    System.err.println(f"[bench] doc_pipeline_s2: $docS2Sec%.2f s, doc_pipeline_hex: $docHexSec%.2f s")
+
     // flagship 2: big-raster pipeline (clip + merge + reproject) scaled by sf
     val side = math.max(400, math.sqrt(40000000 * sf).toInt) // sf0.1 -> 2000x2000
     val bigGrid = Synth.modisGrid.copy(
@@ -145,7 +156,9 @@ object Bench {
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir",""" +
       f""""doc_pipeline_docs":$nDocs,"doc_pipeline_sec":$docSec%.2f,"docs_per_sec":$docsPerSec%.0f,""" +
       f""""raster_pixels":${side.toLong * side},"raster_sec":$rasterSec%.2f,"pixels_per_sec":$pixelsPerSec%.0f,""" +
-      f""""raster_tiles_sec":$rasterTilesSec%.2f,"loadavg_start":$laStart%.1f,"loadavg_end":${loadavg()}%.1f}""")
+      f""""raster_tiles_sec":$rasterTilesSec%.2f,"doc_pipeline_s2_sec":$docS2Sec%.2f,""" +
+      f""""doc_pipeline_hex_sec":$docHexSec%.2f,""" +
+      f""""loadavg_start":$laStart%.1f,"loadavg_end":${loadavg()}%.1f}""")
     spark.stop()
   }
 }

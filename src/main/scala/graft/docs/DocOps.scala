@@ -558,6 +558,27 @@ object DocOps {
        |ORDER BY doc_id, tile_id""".stripMargin
   }
 
+  /** S2 variant of the spatial doc x tile join: the st-rect kernel cover
+    * joined to tile-centre S2 cells — same broadcast equi-join shape as the
+    * quadtree flagship, second DGGS family end-to-end. */
+  def spatialTileAssignmentsS2(docsSpans: DataFrame, grid: GridRef, level: Int): DataFrame = {
+    val spark = docsSpans.sparkSession
+    val cover = geomCellCoverS2Rect(docsSpans, grid, level)
+    val tilePx = grid.width / TileGridN
+    val tiles = spark.range(TileGridN.toLong * TileGridN)
+      .select(col("id").as("tile_id"),
+        (expr(s"id div $TileGridN") * tilePx + tilePx / 2.0).as("prow"),
+        (col("id") % TileGridN * tilePx + tilePx / 2.0).as("pcol"))
+    val t = grid.transform
+    val tx = lit(t.a) * col("pcol") + lit(t.c)
+    val ty = lit(t.e) * col("prow") + lit(t.f)
+    val (lon, lat) = WarpOps.inverseColumns(grid.crs, tx, ty)
+    val tileCells = tiles.select(col("tile_id"),
+      Cells.s2CellIdColumn(lon, lat, level).as("cell_id"))
+    cover.join(broadcast(tileCells), "cell_id")
+      .select("doc_id", "tile_id", "cell_id")
+  }
+
   /** Hex variant of the spatial doc x tile join: the H3-style cover joined
     * to tile-centre hex cells — the north_rule's "H3 cell covers ... inside
     * a broadcast-or-sort-merge spatial join" realized end-to-end on the

@@ -37,4 +37,26 @@ object DocPipeline {
     val r = perTile.agg(sum("n_docs"), count(lit(1))).collect()(0)
     (r.getLong(0), r.getLong(1))
   }
+
+  /** The SAME flagship over the other two DGGS families: the cover stage
+    * swaps (S2 st-rect kernel at `level`; H3-style hex SAT at `res`), the
+    * join/aggregate shape is identical — end-to-end evidence that every
+    * cell family drives the spatial join at flagship scale. */
+  def runS2(spark: SparkSession, nDocs: Long, level: Int = 7,
+            parallelism: Int = 0): (Long, Long) = {
+    val spans = DocOps.interleave(syntheticDocs(spark, nDocs, parallelism))
+    val perTile = DocOps.spatialTileAssignmentsS2(spans, Synth.modisGrid, level)
+      .groupBy("tile_id").agg(count(lit(1)).as("n_docs"))
+    val r = perTile.agg(sum("n_docs"), count(lit(1))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  def runHex(spark: SparkSession, nDocs: Long, res: Int = 5,
+             parallelism: Int = 0): (Long, Long) = {
+    val spans = DocOps.interleave(syntheticDocs(spark, nDocs, parallelism))
+    val perTile = DocOps.spatialTileAssignmentsHex(spans, Synth.modisGrid, res)
+      .groupBy("tile_id").agg(count(lit(1)).as("n_docs"))
+    val r = perTile.agg(sum("n_docs"), count(lit(1))).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
 }
