@@ -37,84 +37,105 @@ object Bench {
 
     // scale factor from the directory name (sf0.001 / sf0.01 / sf0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    // attribution mode: SPARK_GRAFT_ONLY restricts to named queries and
-    // skips the flagships (the driver's full run never sets it)
+    // attribution modes (the driver's full run sets neither):
+    //  - SPARK_GRAFT_ONLY=q_a,q_b   re-measures the named CATALOG queries,
+    //    flagships skipped;
+    //  - SPARK_GRAFT_FLAGSHIPS=doc,s2,hex,raster,tiles  re-measures the
+    //    named FLAGSHIP legs only, interleaved min-of-SPARK_GRAFT_ROUNDS
+    //    with a loadavg line per measurement, catalog skipped (the r3
+    //    verdict's missing evidence tool: a divergent flagship record can
+    //    now be attributed throttle-vs-real the same way catalog queries
+    //    were in r2/r3).
     val attributionMode = sys.env.contains("SPARK_GRAFT_ONLY")
+    val flagshipSel = sys.env.get("SPARK_GRAFT_FLAGSHIPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
     val laStart = loadavg()
     System.err.println(f"[bench] start loadavg=$laStart%.1f")
 
-    // flagship 1: interleaved-doc spatial-join + tile assignment (docs/sec)
     val nDocs = math.max(20000L, (20000000 * sf).toLong) // sf0.1 -> 2M docs
-    val docSec = if (attributionMode) 0.0 else {
-      DocPipeline.run(spark, nDocs / 100, level = 12, parallelism = cpus.toInt) // codegen/JIT warmup
-      // min of two measured runs: the shared host throttles unpredictably
-      val (_, docSec1) = time { DocPipeline.run(spark, nDocs, level = 12, parallelism = cpus.toInt * 4) }
-      val (_, docSec2) = time { DocPipeline.run(spark, nDocs, level = 12, parallelism = cpus.toInt * 4) }
-      math.min(docSec1, docSec2)
-    }
-    val docsPerSec = if (docSec > 0) nDocs / docSec else 0.0
-    System.err.println(f"[bench] doc_pipeline ($nDocs docs): $docSec%.2f s ($docsPerSec%.0f docs/s)")
-
-    // flagship 1b/1c: the SAME pipeline over the other two DGGS families
-    // (S2 st-rect kernel cover; H3-style hex SAT cover) — min-of-2 each
-    val (docS2Sec, docHexSec) = if (attributionMode) (0.0, 0.0) else {
-      DocPipeline.runS2(spark, nDocs / 100, parallelism = cpus.toInt)
-      DocPipeline.runHex(spark, nDocs / 100, parallelism = cpus.toInt)
-      val s2 = Seq.fill(2)(time { DocPipeline.runS2(spark, nDocs, parallelism = cpus.toInt * 4) }._2).min
-      val hx = Seq.fill(2)(time { DocPipeline.runHex(spark, nDocs, parallelism = cpus.toInt * 4) }._2).min
-      (s2, hx)
-    }
-    System.err.println(f"[bench] doc_pipeline_s2: $docS2Sec%.2f s, doc_pipeline_hex: $docHexSec%.2f s")
-
-    // flagship 2: big-raster pipeline (clip + merge + reproject) scaled by sf
     val side = math.max(400, math.sqrt(40000000 * sf).toInt) // sf0.1 -> 2000x2000
     val bigGrid = Synth.modisGrid.copy(
       transform = Synth.modisGrid.transform.compose(
         graft.core.Affine.scale(200.0 / side, 200.0 / side)),
       width = side, height = side)
-    val (_, rasterSec) = if (attributionMode) ((), 0.0) else time {
-      val a = Raster(Synth.pixels(spark, bigGrid, parallelism = cpus.toInt * 4), bigGrid)
+    val par = cpus.toInt * 4
+
+    def rasterRun(): Unit = {
+      val a = Raster(Synth.pixels(spark, bigGrid, parallelism = par), bigGrid)
       val bGrid = bigGrid.copy(transform = bigGrid.transform.windowed(side / 4.0, side / 4.0))
-      val b = Raster(Synth.pixels(spark, bGrid, seed = 777L, parallelism = cpus.toInt * 4), bGrid)
+      val b = Raster(Synth.pixels(spark, bGrid, seed = 777L, parallelism = par), bGrid)
       val merged = MergeOps.merge(Seq(a, b), "first")
       val dst = GridRef.suggestedWarpOutput(merged.grid, graft.core.Crs.WGS84)
-      WarpOps.reprojectNearest(merged, dst).df.count()
+      WarpOps.reprojectNearest(merged, dst).df.count(): Unit
     }
-    val pixelsPerSec = if (rasterSec > 0) side.toLong * side / rasterSec else 0.0
-    System.err.println(f"[bench] raster_pipeline (${side}x$side): $rasterSec%.2f s")
 
-    // flagship 2b: the SAME merge+reproject composed tile-natively —
-    // packed tiles flow merge -> warp without ever exploding to pixel rows
-    // (pack = one-time layout, outside the timed region)
+    // tile-native leg: pack once (a one-time layout cost, outside every
+    // timed region), merge+warp per measurement
     val ts = math.max(40, side / 10)
-    // TileWarp.pack requires full tiles: round the tile-flagship grid side
-    // down to a ts multiple (side itself need not divide, e.g. sf0.01 -> 632)
-    val tSide = math.max(ts, side - side % ts)
-    val (_, rasterTilesSec) = if (attributionMode) ((), 0.0) else {
-      val aG = bigGrid.copy(width = tSide, height = tSide)
-      val bG = aG.copy(transform = aG.transform.windowed(tSide / 4.0, tSide / 4.0))
-      val packedA = graft.ops.TileWarp.pack(
-        Raster(Synth.pixels(spark, aG, parallelism = cpus.toInt * 4), aG), ts).persist()
-      val packedB = graft.ops.TileWarp.pack(
-        Raster(Synth.pixels(spark, bG, seed = 777L, parallelism = cpus.toInt * 4), bG), ts).persist()
-      packedA.count(); packedB.count()
-      def run(): Long = {
-        val (mergedTiles, mergedGrid) = graft.ops.TileMerge.mergeTiles(
-          Seq(packedA -> aG, packedB -> bG), "first", ts)
-        val dst = GridRef.suggestedWarpOutput(mergedGrid, graft.core.Crs.WGS84)
-        graft.ops.TileWarp.reprojectNearestPacked(
-          mergedTiles.toDF().withColumnRenamed("tile_row", "st_row")
-            .withColumnRenamed("tile_col", "st_col"),
-          mergedGrid, dst, ts).count()
-      }
-      // min-of-2 after a codegen/JIT warm-up pass, same protocol as the rest
-      val (_, s1) = time { run() }
-      val (_, s2) = time { run() }
-      val r = ((), math.min(s1, s2))
-      packedA.unpersist(); packedB.unpersist()
-      r
+    val tSide = math.max(ts, side - side % ts) // pack requires full tiles
+    val aG = bigGrid.copy(width = tSide, height = tSide)
+    val bG = aG.copy(transform = aG.transform.windowed(tSide / 4.0, tSide / 4.0))
+    var packed: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = None
+    def tilesSetup(): Unit = if (packed.isEmpty) {
+      val pa = graft.ops.TileWarp.pack(
+        Raster(Synth.pixels(spark, aG, parallelism = par), aG), ts).toDF().persist()
+      val pb = graft.ops.TileWarp.pack(
+        Raster(Synth.pixels(spark, bG, seed = 777L, parallelism = par), bG), ts).toDF().persist()
+      pa.count(); pb.count()
+      packed = Some((pa, pb))
     }
-    System.err.println(f"[bench] raster_pipeline_tiles (${tSide}x$tSide, ts=$ts): $rasterTilesSec%.2f s")
+    def tilesRun(): Unit = {
+      val (pa, pb) = packed.get
+      val (mergedTiles, mergedGrid) = graft.ops.TileMerge.mergeTiles(
+        Seq(pa -> aG, pb -> bG), "first", ts)
+      val dst = GridRef.suggestedWarpOutput(mergedGrid, graft.core.Crs.WGS84)
+      graft.ops.TileWarp.reprojectNearestPacked(
+        mergedTiles.toDF().withColumnRenamed("tile_row", "st_row")
+          .withColumnRenamed("tile_col", "st_col"),
+        mergedGrid, dst, ts).count(): Unit
+    }
+
+    // every flagship leg as (name, warmup, run); measurement below is ONE
+    // interleaved min-of-rounds loop so a host-throttle burst hits all legs
+    // equally (the same protocol the catalog sweep uses)
+    val legs: Seq[(String, () => Unit, () => Unit)] = Seq(
+      ("doc",
+        () => { DocPipeline.run(spark, nDocs / 100, level = 12, parallelism = cpus.toInt); () },
+        () => { DocPipeline.run(spark, nDocs, level = 12, parallelism = par); () }),
+      ("s2",
+        () => { DocPipeline.runS2(spark, nDocs / 100, parallelism = cpus.toInt); () },
+        () => { DocPipeline.runS2(spark, nDocs, parallelism = par); () }),
+      ("hex",
+        () => { DocPipeline.runHex(spark, nDocs / 100, parallelism = cpus.toInt); () },
+        () => { DocPipeline.runHex(spark, nDocs, parallelism = par); () }),
+      ("raster", () => (), () => rasterRun()),
+      ("tiles", () => tilesSetup(), () => tilesRun()))
+
+    val runFlagships = flagshipSel.isDefined || !attributionMode
+    val selectedLegs = legs.filter { case (n, _, _) => flagshipSel.forall(_.contains(n)) }
+    val flagSec = scala.collection.mutable.Map.empty[String, Double]
+    if (runFlagships) {
+      selectedLegs.foreach(_._2()) // codegen/JIT warmups, never timed
+      for (round <- 1 to rounds; (name, _, run) <- selectedLegs) {
+        val la = loadavg()
+        val (_, sec) = time { run() }
+        flagSec(name) = math.min(flagSec.getOrElse(name, Double.MaxValue), sec)
+        System.err.println(
+          f"[bench] flagship $name: $sec%.2f s (round $round/$rounds, loadavg=$la%.1f)")
+      }
+      packed.foreach { case (pa, pb) => pa.unpersist(); pb.unpersist() }
+    }
+    val docSec = flagSec.getOrElse("doc", 0.0)
+    val docS2Sec = flagSec.getOrElse("s2", 0.0)
+    val docHexSec = flagSec.getOrElse("hex", 0.0)
+    val rasterSec = flagSec.getOrElse("raster", 0.0)
+    val rasterTilesSec = flagSec.getOrElse("tiles", 0.0)
+    val docsPerSec = if (docSec > 0) nDocs / docSec else 0.0
+    val pixelsPerSec = if (rasterSec > 0) side.toLong * side / rasterSec else 0.0
+    System.err.println(f"[bench] doc_pipeline ($nDocs docs): $docSec%.2f s ($docsPerSec%.0f docs/s); " +
+      f"s2 $docS2Sec%.2f s; hex $docHexSec%.2f s; raster (${side}x$side) $rasterSec%.2f s; " +
+      f"tiles (${tSide}x$tSide, ts=$ts) $rasterTilesSec%.2f s")
 
     // min-of-2 per query (same protocol as the flagships): the shared host
     // throttles unpredictably and an n=1 sample can be 5-10x off (the round-1
@@ -124,9 +145,9 @@ object Bench {
     // the interleaved round count — rounds iterate OVER the query list so a
     // host-throttle burst hits all queries equally instead of one.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_ROUNDS", "2").toInt
-    val qlist = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val qlist = if (flagshipSel.isDefined) Seq.empty // flagship attribution: no catalog
+      else SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
     val samples = scala.collection.mutable.Map.empty[String, List[(Double, Boolean)]]
       .withDefaultValue(Nil)
     for (round <- 1 to rounds) {

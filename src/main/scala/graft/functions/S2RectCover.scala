@@ -4,7 +4,7 @@ import graft.core.Cells
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** The sliver-free S2 cover of a lon/lat bbox in ONE static kernel call.
@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   *
   * Arithmetic is the SCALAR mirror of Cells.s2CellIdColumn — the same
   * java.lang.Math trig the codegen'd Column form calls and the same
-  * ROUND(,9) floor guard — so the DuckDB oracle built from
+  * Cells.StEps floor guard — so the DuckDB oracle built from
   * DocOps.geomCellCoverS2RectSql stays bit-identical. */
 case class S2RectCover(lonMin: Expression, latMin: Expression,
                        lonMax: Expression, latMax: Expression,
@@ -54,25 +54,53 @@ case class S2RectCover(lonMin: Expression, latMin: Expression,
 
 object S2RectCover {
 
-  private def stIdx(u: Double, level: Int): Long = {
-    val n = 1L << level
-    math.min(n - 1, math.max(0L, math.floor(Cells.r9Public(Cells.s2St(u) * n)).toLong))
+  private def stIdx(u: Double, level: Int): Long = Cells.s2StIdx(u, level)
+
+  /** Corner face/u/v with NO allocation: the generic Tuple3 that
+    * Cells.s2FaceUv returns boxes both doubles, and at 4 corners/row x
+    * millions of rows/task the boxing garbage alone stalled the whole JVM
+    * in GC (round-4 stage metrics: the S2 stage burned 4-8x the GC of the
+    * quadtree stage at near-equal CPU). Results land in `fuv` as
+    * (face, u, v) primitives. */
+  private def faceUv(lonDeg: Double, latDeg: Double, fuv: Array[Double]): Unit = {
+    val lon = lonDeg * graft.core.Projection.D2R
+    val lat = latDeg * graft.core.Projection.D2R
+    val cl = math.cos(lat)
+    val x = cl * math.cos(lon)
+    val y = cl * math.sin(lon)
+    val z = math.sin(lat)
+    val ax = math.abs(x); val ay = math.abs(y); val az = math.abs(z)
+    if (ax >= ay && ax >= az) {
+      if (x > 0) { fuv(0) = 0; fuv(1) = y / x; fuv(2) = z / x }
+      else { fuv(0) = 3; fuv(1) = z / x; fuv(2) = y / x }
+    } else if (ay >= az) {
+      if (y > 0) { fuv(0) = 1; fuv(1) = -x / y; fuv(2) = z / y }
+      else { fuv(0) = 4; fuv(1) = z / y; fuv(2) = -x / y }
+    } else {
+      if (z > 0) { fuv(0) = 2; fuv(1) = -x / z; fuv(2) = -y / z }
+      else { fuv(0) = 5; fuv(1) = -y / z; fuv(2) = -x / z }
+    }
   }
 
   def cells(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
             level: Int, samples: Int): ArrayData = {
-    val c1 = Cells.s2FaceUv(lonMin, latMin)
-    val c2 = Cells.s2FaceUv(lonMax, latMin)
-    val c3 = Cells.s2FaceUv(lonMin, latMax)
-    val c4 = Cells.s2FaceUv(lonMax, latMax)
-    val sameFace = c2._1 == c1._1 && c3._1 == c1._1 && c4._1 == c1._1
+    val fuv = new Array[Double](3)
+    faceUv(lonMin, latMin, fuv)
+    val f1 = fuv(0); val u1 = fuv(1); val v1 = fuv(2)
+    faceUv(lonMax, latMin, fuv)
+    val f2 = fuv(0); val u2 = fuv(1); val v2 = fuv(2)
+    faceUv(lonMin, latMax, fuv)
+    val f3 = fuv(0); val u3 = fuv(1); val v3 = fuv(2)
+    faceUv(lonMax, latMax, fuv)
+    val f4 = fuv(0); val u4 = fuv(1); val v4 = fuv(2)
+    val sameFace = f2 == f1 && f3 == f1 && f4 == f1
     val no90 = math.floor(lonMin / 90.0) == math.floor(lonMax / 90.0)
     if (sameFace && no90) {
-      val f = c1._1.toLong
-      val uLo = math.min(math.min(c1._2, c2._2), math.min(c3._2, c4._2))
-      val uHi = math.max(math.max(c1._2, c2._2), math.max(c3._2, c4._2))
-      val vLo = math.min(math.min(c1._3, c2._3), math.min(c3._3, c4._3))
-      val vHi = math.max(math.max(c1._3, c2._3), math.max(c3._3, c4._3))
+      val f = f1.toLong
+      val uLo = math.min(math.min(u1, u2), math.min(u3, u4))
+      val uHi = math.max(math.max(u1, u2), math.max(u3, u4))
+      val vLo = math.min(math.min(v1, v2), math.min(v3, v4))
+      val vHi = math.max(math.max(v1, v2), math.max(v3, v4))
       val s0 = stIdx(uLo, level); val s1 = stIdx(uHi, level)
       val t0 = stIdx(vLo, level); val t1 = stIdx(vHi, level)
       val out = new Array[Long](((s1 - s0 + 1) * (t1 - t0 + 1)).toInt)
@@ -87,7 +115,9 @@ object S2RectCover {
         }
         si += 1
       }
-      new GenericArrayData(out)
+      // UnsafeArrayData: the codegen'd consumer writes it out without the
+      // per-row Generic->Unsafe conversion copy
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
     } else {
       // multi-face / meridian-spanning fallback: the distinct sample lattice
       val k = (samples - 1).toDouble
@@ -107,7 +137,7 @@ object S2RectCover {
       val it = seen.iterator()
       var n = 0
       while (it.hasNext) { out(n) = it.next(); n += 1 }
-      new GenericArrayData(out)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
     }
   }
 

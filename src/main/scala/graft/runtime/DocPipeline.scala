@@ -41,8 +41,19 @@ object DocPipeline {
   /** The SAME flagship over the other two DGGS families: the cover stage
     * swaps (S2 st-rect kernel at `level`; H3-style hex SAT at `res`), the
     * join/aggregate shape is identical — end-to-end evidence that every
-    * cell family drives the spatial join at flagship scale. */
-  def runS2(spark: SparkSession, nDocs: Long, level: Int = 7,
+    * cell family drives the spatial join at flagship scale.
+    *
+    * Level 10 is the granularity match for the quadtree flagship's level 12:
+    * an S2 face spans 90° where the planar quadtree spans 360°, so S2 level
+    * L has the cell pitch of quadtree level L+2 (90/2^10 = 360/2^12 =
+    * 0.088°). Round 3 ran this leg at level 7 — cells ~8x coarser than the
+    * quadtree leg's, collapsing every tile centre into a couple of cells and
+    * inflating the equi-join output to 38.7 assignment rows/doc vs the
+    * quadtree's ~3 (77M vs 6M rows at 2M docs; S2Probe measurement). That
+    * join fan-out, not the cover kernel, was the bulk of the 397s/22.4s
+    * BENCH_r03 S2 leg. At level 10 the three legs do equivalent semantic
+    * work: 2.69 cover cells/doc and 4.0 assignment rows/doc. */
+  def runS2(spark: SparkSession, nDocs: Long, level: Int = 10,
             parallelism: Int = 0): (Long, Long) = {
     val spans = DocOps.interleave(syntheticDocs(spark, nDocs, parallelism))
     val perTile = DocOps.spatialTileAssignmentsS2(spans, Synth.modisGrid, level)
