@@ -265,8 +265,22 @@ object Rpc {
 object Json {
   def num(v: Double): String =
     if (v == v.toLong.toDouble && math.abs(v) < 1e15) v.toLong.toString else v.toString
-  def str(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  def str(s: String): String = {
+    // control characters (newlines in CF long_name, tabs in multi-line WKT)
+    // must be escaped or the emitted sidecar is invalid JSON and every
+    // subsequent open of the store fails in parse (ADVICE r3)
+    val b = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '\\' => b.append("\\\\")
+      case '"' => b.append("\\\"")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append('"').toString
+  }
   def parse(s: String): com.fasterxml.jackson.databind.JsonNode =
     new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
 

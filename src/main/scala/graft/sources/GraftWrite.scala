@@ -65,19 +65,29 @@ object GraftWrite {
       |  required int32 width; required int32 height;
       |  required double nodata; required int32 tile_size;
       |  optional binary attrs (UTF8);
+      |  optional binary dtype (UTF8);
       |}""".stripMargin)
 
-  /** Grid parsed from writer options (a fresh store has no sidecar yet). */
+  /** Grid parsed from writer options (a fresh store has no sidecar yet).
+    * `dtype` defaults to float64; when given, `nodata` may be omitted (the
+    * dtype's default nodata applies, `_spatial_utils.py:28-45`) and an
+    * explicit nodata must survive coercion to the dtype unchanged
+    * (`_ensure_nodata_dtype`, raster_writer.py:121-146 — e.g. nodata -1
+    * into a uint8 store is rejected at write build time). */
   def gridFromOptions(get: String => String): (GridRef, Int) = {
     def req(k: String): String = {
       val v = get(k)
       require(v != null, s"graft write requires option '$k' " +
-        "(crs, transform, width, height, nodata, tile_size)")
+        "(crs, transform, width, height, nodata|dtype, tile_size)")
       v
     }
     val attrs = Option(get("attrs")).map(graft.core.Json.toMap).getOrElse(Map.empty)
+    val dtype = Option(get("dtype")).getOrElse("float64")
+    val nodata = Option(get("nodata")).map(_.toDouble)
+      .getOrElse(graft.ops.Conventions.DtypeNodata.default(dtype))
+    val checked = graft.ops.Conventions.DtypeNodata.ensureNodataDtype(nodata, dtype)
     (GridRef(Crs.parse(req("crs")), Affine.fromGdal(req("transform")),
-       req("width").toInt, req("height").toInt, req("nodata").toDouble, attrs),
+       req("width").toInt, req("height").toInt, checked, attrs, dtype),
      req("tile_size").toInt)
   }
 }
@@ -188,6 +198,7 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
       .append("width", grid.width).append("height", grid.height)
       .append("nodata", grid.nodata).append("tile_size", ts)
     if (grid.attrs.nonEmpty) g.append("attrs", graft.core.Json.obj(grid.attrs))
+    g.append("dtype", grid.dtype)
     w.write(g); w.close()
 
     // promote: ONE rename, then the atomic marker creation = commit point.
@@ -221,20 +232,13 @@ class GraftBatchWrite(path: String, grid: GridRef, ts: Int,
           gen = next; genDir = nextDir
       }
     }
-    val marker = new Path(root, s"${StoreLayout.MarkerPrefix}$gen")
-
-    // committed — sweep everything the marker made invisible: older
-    // generations and their markers, legacy root-level files and sidecars.
-    // A crash here only leaves invisible garbage for the next commit.
-    fs.listStatus(root).foreach { s =>
-      val n = s.getPath.getName
-      val keep = n == genDir.getName || n == marker.getName ||
-        n.startsWith("_staging-")
-      if (!keep &&
-          (s.isFile || n == "_grid" || n == "_index" ||
-           n.startsWith(StoreLayout.GenPrefix) || n.startsWith("var_name=")))
-        fs.delete(s.getPath, true)
-    }
+    // committed — garbage-collect superseded snapshots. The sweep retains
+    // the immediately-previous marked generation (in-flight readers), never
+    // touches generation numbers >= ours (concurrent writers), and applies
+    // a grace period to unmarked dirs — see StoreLayout.sweepSuperseded.
+    // A crash before/inside the sweep only leaves invisible garbage for a
+    // later commit's sweep.
+    StoreLayout.sweepSuperseded(fs, root, gen)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -47,7 +47,15 @@ object StoreLayout {
     * Marker format: `_committed-<gen>` with the owning queryId as file
     * CONTENT — the gen-only name makes `create(overwrite=false)` a true
     * arbiter between concurrent committers racing for the same generation
-    * number. (Legacy `_committed-<gen>.<qid>` names still parse.) */
+    * number. (Legacy `_committed-<gen>.<qid>` names still parse.)
+    *
+    * A marker whose content is not yet visible (a reader racing the
+    * winner's content write, or a writer that crashed between create and
+    * close) resolves through a `_gen-<gen>.*` glob when exactly one such
+    * directory exists; otherwise that generation is treated as
+    * not-yet-committed and an older marker wins — readers never see the
+    * dangling `_gen-<n>.` path the raw empty content would produce
+    * (ADVICE r3). */
   def liveGeneration(fs: FileSystem, root: Path): Option[(Long, String)] =
     if (!fs.exists(root)) None
     else fs.listStatus(root).toSeq
@@ -62,10 +70,73 @@ object StoreLayout {
           val in = fs.open(s.getPath)
           val qid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                     finally in.close()
-          (gen, qid)
-        }.toOption
+          if (qid.nonEmpty) Some((gen, qid))
+          else {
+            val dirs = fs.globStatus(new Path(root, s"$GenPrefix$gen.*"))
+            if (dirs != null && dirs.count(_.isDirectory) == 1)
+              Some((gen, dirs.find(_.isDirectory).get.getPath.getName
+                .stripPrefix(s"$GenPrefix$gen.")))
+            else None
+          }
+        }.toOption.flatten
       }
       .sortBy { case (g, q) => (g, q) }.lastOption
+
+  /** Grace period before an UNMARKED generation directory is considered a
+    * crashed writer's garbage: by name alone it is indistinguishable from a
+    * live concurrent writer's just-promoted directory, so the sweep only
+    * removes it once its modification time is this far in the past. */
+  val UnmarkedGraceMs: Long = 10 * 60 * 1000L
+
+  private val GenName = "^_gen-(\\d+)\\..*$".r
+  private val MarkerName = s"^$MarkerPrefix(\\d+)(?:\\..*)?$$".r
+
+  /** Post-commit garbage collection, called by the writer AFTER its marker
+    * landed (own generation = `ownGen`). Policy (ADVICE r3):
+    *
+    *  - a marked generation `g` (dir + marker) is deleted iff
+    *    `g < ownGen && g != keepPrev` where keepPrev is the highest marked
+    *    generation below ownGen at sweep time — the immediately-previous
+    *    snapshot is RETAINED so readers that planned a scan against it
+    *    before this commit finish cleanly (Iceberg-style retention of one
+    *    previous snapshot);
+    *  - anything with generation number >= ownGen is NEVER touched: it
+    *    belongs to a concurrent writer that already promoted (or even
+    *    committed) a newer generation;
+    *  - an unmarked generation directory is deleted only after
+    *    [[UnmarkedGraceMs]] (see above), at any generation number;
+    *  - legacy root-level layout (flat data files, `_grid`, `_index`,
+    *    `var_name=` dirs) is the pre-generation snapshot: retained while it
+    *    is the only predecessor (ownGen is the first marked generation),
+    *    swept once a marked generation below ownGen exists;
+    *  - `_staging-*` is always left alone (in-flight writers). */
+  def sweepSuperseded(fs: FileSystem, root: Path, ownGen: Long): Unit = {
+    val entries = fs.listStatus(root).toSeq
+    val markedGens = entries.filter(_.isFile).flatMap(s => s.getPath.getName match {
+      case MarkerName(g) => Some(g.toLong)
+      case _ => None
+    }).toSet
+    val keepPrev = markedGens.filter(_ < ownGen) match {
+      case s if s.isEmpty => -1L
+      case s => s.max
+    }
+    val cutoff = System.currentTimeMillis() - UnmarkedGraceMs
+    entries.foreach { s =>
+      val n = s.getPath.getName
+      val del = n match {
+        case _ if n.startsWith("_staging-") => false
+        case GenName(g) if s.isDirectory =>
+          if (markedGens.contains(g.toLong)) g.toLong < ownGen && g.toLong != keepPrev
+          else s.getModificationTime < cutoff && g.toLong != ownGen
+        case MarkerName(g) => g.toLong < ownGen && g.toLong != keepPrev
+        case _ =>
+          // legacy root-level store: swept once a marked predecessor exists
+          keepPrev >= 0 &&
+            (s.isFile || n == "_grid" || n == "_index" || n.startsWith("var_name="))
+      }
+      if (del) fs.delete(s.getPath, true)
+    }
+  }
 
   /** Directory holding the live data files / `_grid` / `_index`: the
     * current generation directory, or the root for legacy stores. */

@@ -143,11 +143,22 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(names0.contains("_committed-1"), names0.mkString(","))
     assert(names0.exists(_.startsWith("_gen-1.")), names0.mkString(","))
 
-    // a second overwrite advances the generation and sweeps the old one
+    // a second overwrite advances the generation; the PREVIOUS snapshot is
+    // retained (readers that planned a scan against gen 1 before this
+    // commit still finish — Iceberg-style one-snapshot retention) and a
+    // third overwrite finally sweeps it
     opts(px.write.format("graft").mode("overwrite")).save(dir)
     val names1 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
     assert(names1.contains("_committed-2"), names1.mkString(","))
-    assert(!names1.exists(_.startsWith("_gen-1.")), "old generation must be swept")
+    assert(names1.exists(_.startsWith("_gen-1.")),
+      "previous generation must be retained for in-flight readers")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == direct)
+    opts(px.write.format("graft").mode("overwrite")).save(dir)
+    val names2 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(names2.contains("_committed-3") && names2.exists(_.startsWith("_gen-2.")),
+      names2.mkString(","))
+    assert(!names2.exists(_.startsWith("_gen-1.")) && !names2.contains("_committed-1"),
+      "generation two commits back must be swept: " + names2.mkString(","))
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == direct)
 
     // an input with a duplicated pixel must be REJECTED in the task (bitset
@@ -226,28 +237,110 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
     val (g2, ts2) = TileIO.readGrid(spark, dir)
     assert(g2 == g && ts2 == 50)
-    // the next successful commit sweeps the orphan
+    // a FRESH unmarked orphan is indistinguishable from a live concurrent
+    // writer's just-promoted generation, so the next commit must RETAIN it
     px.write.format("graft").mode("overwrite")
       .option("crs", g.crs.key).option("transform", g.transform.toGdal)
       .option("width", "200").option("height", "200")
       .option("nodata", "-28672.0").option("tile_size", "50")
       .save(dir)
     val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
-    assert(!names.contains(s"${StoreLayout.GenPrefix}99.deadbeef"), "orphan must be swept")
+    assert(names.contains(s"${StoreLayout.GenPrefix}99.deadbeef"),
+      "fresh unmarked generation (possible live writer) must survive the sweep")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+    // ... and once it ages past the grace period it is crash garbage: swept
+    val old = System.currentTimeMillis() - StoreLayout.UnmarkedGraceMs - 60000
+    fs.setTimes(orphan, old, old)
+    px.write.format("graft").mode("overwrite")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    val names3 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(!names3.contains(s"${StoreLayout.GenPrefix}99.deadbeef"),
+      "aged unmarked orphan must be swept")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
 
-    // concurrent-claim race: gen 3 is unclaimable (a path squatting on the
+    // concurrent-claim race: gen 4 is unclaimable (a path squatting on the
     // marker name that liveGeneration cannot read as a marker) — the commit
     // must re-promote under the next number instead of failing or tearing
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.MarkerPrefix}3"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.MarkerPrefix}4"))
     px.write.format("graft").mode("overwrite")
       .option("crs", g.crs.key).option("transform", g.transform.toGdal)
       .option("width", "200").option("height", "200")
       .option("nodata", "-28672.0").option("tile_size", "50")
       .save(dir)
     assert(StoreLayout.liveGeneration(fs, new org.apache.hadoop.fs.Path(dir))
-      .exists(_._1 >= 4L), "claim race must advance past the squatted generation")
+      .exists(_._1 >= 5L), "claim race must advance past the squatted generation")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("sweep never touches a concurrent writer's newer generation; retention rules hold") {
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-sweep").toString)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def mkGen(gen: Long, qid: String, marked: Boolean): Unit = {
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"${StoreLayout.GenPrefix}$gen.$qid"))
+      if (marked) {
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(root, s"${StoreLayout.MarkerPrefix}$gen"), false)
+        out.write(qid.getBytes("UTF-8")); out.close()
+      }
+    }
+    // marked history 1,2 + our own commit 3; a concurrent writer has already
+    // promoted-and-committed gen 4 AND promoted (unmarked, fresh) gen 5; an
+    // AGED unmarked orphan at gen 0; legacy root-level files; a staging dir
+    mkGen(1, "a", marked = true); mkGen(2, "b", marked = true)
+    mkGen(3, "own", marked = true)
+    mkGen(4, "c", marked = true); mkGen(5, "d", marked = false)
+    mkGen(0, "z", marked = false)
+    val aged = System.currentTimeMillis() - StoreLayout.UnmarkedGraceMs - 60000
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, s"${StoreLayout.GenPrefix}0.z"), aged, aged)
+    fs.create(new org.apache.hadoop.fs.Path(root, "legacy.parquet"), true).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_grid"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_staging-x"))
+
+    StoreLayout.sweepSuperseded(fs, root, ownGen = 3)
+    val left = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!left.contains("_gen-1.a") && !left.contains("_committed-1"),
+      s"gen two commits back must go: $left")
+    assert(left.contains("_gen-2.b") && left.contains("_committed-2"),
+      s"previous marked gen must be retained: $left")
+    assert(left.contains("_gen-3.own") && left.contains("_committed-3"))
+    assert(left.contains("_gen-4.c") && left.contains("_committed-4"),
+      s"a NEWER committed generation must never be deleted: $left")
+    assert(left.contains("_gen-5.d"),
+      s"a newer fresh unmarked generation (live writer) must never be deleted: $left")
+    assert(!left.contains("_gen-0.z"), s"aged unmarked orphan must be swept: $left")
+    assert(!left.contains("legacy.parquet") && !left.contains("_grid"),
+      s"legacy root store with a marked predecessor must be swept: $left")
+    assert(left.contains("_staging-x"), s"staging dirs are never touched: $left")
+    // readers resolve the newest marked generation throughout
+    assert(StoreLayout.liveGeneration(fs, root).contains((4L, "c")))
+  }
+
+  test("empty-content marker resolves via gen-dir glob; ambiguity falls back a generation") {
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-marker").toString)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(name: String, dir: Boolean, content: String = ""): Unit =
+      if (dir) { fs.mkdirs(new org.apache.hadoop.fs.Path(root, name)); () }
+      else {
+        val o = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+        o.write(content.getBytes("UTF-8")); o.close()
+      }
+    mk(s"${StoreLayout.GenPrefix}1.q1", dir = true)
+    mk(s"${StoreLayout.MarkerPrefix}1", dir = false, content = "q1")
+    // gen 2 committed but content not yet visible (reader raced the close,
+    // or the writer crashed between create and write): one matching dir ->
+    // the glob resolves it
+    mk(s"${StoreLayout.GenPrefix}2.q2", dir = true)
+    mk(s"${StoreLayout.MarkerPrefix}2", dir = false)
+    assert(StoreLayout.liveGeneration(fs, root).contains((2L, "q2")))
+    // two candidate dirs (the losing racer has not re-promoted yet): the
+    // generation is not resolvable -> readers stay on the previous one
+    mk(s"${StoreLayout.GenPrefix}2.q3", dir = true)
+    assert(StoreLayout.liveGeneration(fs, root).contains((1L, "q1")))
   }
 
   test("scan plans from the _index sidecar, not per-file footers") {
