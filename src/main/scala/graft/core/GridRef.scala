@@ -24,7 +24,8 @@ final case class Bounds(minx: Double, miny: Double, maxx: Double, maxy: Double) 
   * rioxarray/rioxarray.py:63-77 and SURVEY.md §1.2). Broadcast-sized. */
 final case class GridRef(crs: Crs, transform: Affine, width: Int, height: Int,
                          nodata: Double,
-                         attrs: Map[String, String] = Map.empty) {
+                         attrs: Map[String, String] = Map.empty,
+                         dtype: String = "float64") {
 
   /** Pixel-edge bounds (left, bottom, right, top) — north-up grids.
     * Mirrors semantics of rioxarray.py:793-852. */

@@ -373,6 +373,62 @@ object Conventions {
     /** The reference's decode gate: only coords whose units contain
       * "since" are datetime-decoded (_io.py:718). */
     def isCfTime(units: String): Boolean = units != null && units.contains("since")
+
+    // ---- CF timedeltas (_io.py:705-743 second arm) ------------------------
+
+    /** xarray times.TIME_UNITS — the EXACT plural spellings the reference's
+      * timedelta gate membership-tests (`units in times.TIME_UNITS`,
+      * _io.py:723-724); bare "day"/"h"/"s" do NOT qualify. */
+    private val TimedeltaSeconds: Map[String, Double] = Map(
+      "days" -> 86400.0, "hours" -> 3600.0, "minutes" -> 60.0,
+      "seconds" -> 1.0, "milliseconds" -> 1e-3, "microseconds" -> 1e-6,
+      "nanoseconds" -> 1e-9)
+
+    /** The timedelta decode gate (a units string WITHOUT "since"). */
+    def isCfTimedelta(units: String): Boolean =
+      units != null && TimedeltaSeconds.contains(units.trim.toLowerCase)
+
+    /** Decode a numeric CF timedelta coordinate ("seconds"/"days"/... with
+      * no epoch) to a DayTimeIntervalType Column — the engine analog of
+      * CFTimedeltaCoder().decode. Sub-microsecond units round to Spark's
+      * microsecond interval precision. */
+    def decodeTimedeltaColumn(td: org.apache.spark.sql.Column,
+                              units: String): org.apache.spark.sql.Column = {
+      val mult = TimedeltaSeconds.getOrElse(units.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unsupported CF timedelta unit '$units'"))
+      val z = org.apache.spark.sql.functions.lit(0)
+      org.apache.spark.sql.functions.make_dt_interval(
+        z, z, z, td.cast("double") * mult)
+    }
+
+    /** Encode back to the numeric coordinate (inverse of
+      * decodeTimedeltaColumn): interval fields -> seconds -> units (an
+      * ANSI day-time interval has no direct numeric cast). */
+    def encodeTimedeltaColumn(iv: org.apache.spark.sql.Column,
+                              units: String): org.apache.spark.sql.Column = {
+      val mult = TimedeltaSeconds.getOrElse(units.trim.toLowerCase,
+        throw new IllegalArgumentException(s"unsupported CF timedelta unit '$units'"))
+      import org.apache.spark.sql.functions.{date_part, lit}
+      val secs = ((date_part(lit("DAY"), iv) * 24 + date_part(lit("HOUR"), iv)) * 60 +
+        date_part(lit("MINUTE"), iv)).cast("double") * 60 +
+        date_part(lit("SECOND"), iv).cast("double")
+      secs / mult
+    }
+
+    /** The full `_decode_datetime_cf` dispatch for one coordinate: datetime
+      * arm first ("since" + decode_times), then the timedelta arm
+      * (decode_timedelta, defaulting to decode_times like the reference's
+      * `if decode_timedelta is None: decode_timedelta = decode_times`).
+      * Returns None when neither gate opens (coord left as numbers). */
+    def decodeCoord(c: org.apache.spark.sql.Column, units: String,
+                    decodeTimes: Boolean,
+                    decodeTimedelta: Option[Boolean] = None):
+        Option[org.apache.spark.sql.Column] = {
+      val dtd = decodeTimedelta.getOrElse(decodeTimes)
+      if (decodeTimes && isCfTime(units)) Some(decodeColumn(c, units))
+      else if (dtd && isCfTimedelta(units)) Some(decodeTimedeltaColumn(c, units))
+      else None
+    }
   }
 
   // ---- dtype → default nodata (_spatial_utils.py:28-45) -------------------
@@ -412,5 +468,76 @@ object Conventions {
     def writeNodataDefault(r: Raster, dtype: String,
                            nodata: Option[Double] = None): Raster =
       MetadataOps.writeNodata(r, nodata.getOrElse(default(dtype)))
+
+    /** Integer-dtype value ranges (as doubles) for nodata coercion checks;
+      * the int64/uint64 bounds are the numpy float64 images of the exact
+      * bounds, matching the reference's float compare. */
+    private val intRange: Map[String, (Double, Double)] = Map(
+      "int8" -> (-128.0, 127.0), "uint8" -> (0.0, 255.0),
+      "int16" -> (-32768.0, 32767.0), "uint16" -> (0.0, 65535.0),
+      "int32" -> (-2147483648.0, 2147483647.0), "uint32" -> (0.0, 4294967295.0),
+      "int64" -> (-9.223372036854776e18, 9.223372036854776e18),
+      "uint64" -> (0.0, 1.8446744073709552e19))
+
+    /** IEEE half-precision round-trip of a double (round-to-nearest-even,
+      * standard bit algorithm) — JDK 17 has no Float.float16 yet. */
+    private def halfRoundTrip(v: Double): Double = {
+      val f = v.toFloat
+      val bits = java.lang.Float.floatToIntBits(f)
+      val sign = (bits >>> 16) & 0x8000
+      val absBits = bits & 0x7fffffff
+      val h: Int =
+        if (absBits >= 0x7f800000) sign | 0x7c00 | (if (absBits > 0x7f800000) 0x200 else 0)
+        else if (absBits >= 0x47800000) sign | 0x7c00 // overflow -> inf
+        else if (absBits >= 0x38800000) { // normal half
+          val mant = absBits & 0x7fffff
+          val exp = (absBits >>> 23) - 112
+          val rounded = ((exp << 10) | (mant >>> 13)) +
+            (((mant >>> 12) & 1) & (if ((mant & 0xfff) != 0 || ((mant >>> 13) & 1) != 0) 1 else 0))
+          sign | rounded
+        } else if (absBits >= 0x33000000) { // subnormal half
+          val shift = 126 - (absBits >>> 23)
+          val mant = (absBits & 0x7fffff) | 0x800000
+          val m = mant >>> (shift + 1)
+          val rem = mant & ((1 << (shift + 1)) - 1)
+          val half = 1 << shift
+          sign | (m + (if (rem > half || (rem == half && (m & 1) != 0)) 1 else 0))
+        } else sign // underflow -> signed zero
+      // half -> float
+      val s = (h >>> 15) & 1; val e = (h >>> 10) & 0x1f; val m = h & 0x3ff
+      val back =
+        if (e == 0x1f) { if (m == 0) (if (s == 1) Float.NegativeInfinity else Float.PositiveInfinity) else Float.NaN }
+        else if (e == 0) (if (s == 1) -1f else 1f) * m * math.pow(2, -24).toFloat
+        else (if (s == 1) -1f else 1f) * (1f + m / 1024f) * math.pow(2, e - 15).toFloat
+      back.toDouble
+    }
+
+    /** The reference's `_ensure_nodata_dtype` (raster_writer.py:121-146):
+      * coerce nodata to the write dtype; if the coercion CHANGES the value
+      * (and it is not NaN) the write must fail — e.g. nodata -1 cannot ride
+      * a uint8 band, 0.1 cannot ride int16, and a double that does not
+      * round-trip float32 cannot ride float32. Complex dtypes pass the
+      * real-valued nodata through untouched, like the reference. */
+    def ensureNodataDtype(nodata: Double, dtype: String): Double = {
+      val d = dtype.toLowerCase
+      require(map.contains(d), s"unknown dtype $dtype")
+      def fail(): Nothing = throw new IllegalArgumentException(
+        s"Unable to convert nodata value ($nodata) to new dtype ($d).")
+      if (d.startsWith("c")) nodata // complex: real-valued nodata allowed
+      else if (d == "float64") nodata
+      else if (d == "float32") {
+        if (nodata.isNaN) nodata
+        else if (nodata.toFloat.toDouble == nodata) nodata else fail()
+      } else if (d == "float16") {
+        if (nodata.isNaN) nodata
+        else if (halfRoundTrip(nodata) == nodata) nodata else fail()
+      } else {
+        val (lo, hi) = intRange(d)
+        if (nodata.isNaN || nodata.isInfinite) fail()
+        else if (nodata != math.rint(nodata)) fail() // fractional: truncation changes it
+        else if (nodata < lo || nodata > hi) fail()
+        else nodata
+      }
+    }
   }
 }

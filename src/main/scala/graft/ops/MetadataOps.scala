@@ -155,9 +155,13 @@ object MetadataOps {
     else scales.headOption.foreach(s => b += ("scale_factor" -> s.toString))
     if (offsets.distinct.size > 1) b += ("offsets" -> offsets.mkString(","))
     else offsets.headOption.foreach(o => b += ("add_offset" -> o.toString))
-    if (descriptions.exists(_ != null)) {
-      if (descriptions.distinct.size == 1) b += ("long_name" -> descriptions.head)
-      else b += ("long_name" -> descriptions.mkString(","))
+    // truthiness gate like the reference's `if any(riods.descriptions)`
+    // (_io.py:688): a band list of all-empty strings emits NO long_name, and
+    // null entries render as empty strings, not the text "null" (ADVICE r3)
+    if (descriptions.exists(d => d != null && d.nonEmpty)) {
+      val ds = descriptions.map(d => if (d == null) "" else d)
+      if (ds.distinct.size == 1) b += ("long_name" -> ds.head)
+      else b += ("long_name" -> ds.mkString(","))
     }
     if (units.exists(u => u != null && u.nonEmpty)) {
       if (units.size == 1) b += ("units" -> units.head)

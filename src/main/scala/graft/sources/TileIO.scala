@@ -70,8 +70,8 @@ object TileIO {
     // encoding chain survive the write/read roundtrip
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
-         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs)))
-      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs")
+         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs), g.dtype))
+      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs", "dtype")
       .write.mode("overwrite").parquet(s"$path/_grid")
   }
 
@@ -118,8 +118,8 @@ object TileIO {
     // encoding chain survive the write/read roundtrip
     Seq((g.crs.key, g.transform.a, g.transform.b, g.transform.c,
          g.transform.d, g.transform.e, g.transform.f,
-         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs)))
-      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs")
+         g.width, g.height, g.nodata, tileSize, Json.obj(g.attrs), g.dtype))
+      .toDF("crs", "ta", "tb", "tc", "td", "te", "tf", "width", "height", "nodata", "tile_size", "attrs", "dtype")
       .write.mode("overwrite").parquet(s"$path/_grid")
   }
 
@@ -177,11 +177,16 @@ object TileIO {
       if (df.schema.fieldNames.contains("attrs") && r.getAs[String]("attrs") != null)
         Json.toMap(r.getAs[String]("attrs"))
       else Map.empty[String, String]
+    // dtype column is optional (pre-round-4 stores carry implicit float64)
+    val dtype =
+      if (df.schema.fieldNames.contains("dtype") && r.getAs[String]("dtype") != null)
+        r.getAs[String]("dtype")
+      else "float64"
     (GridRef(Crs.parse(r.getAs[String]("crs")),
       Affine(r.getAs[Double]("ta"), r.getAs[Double]("tb"), r.getAs[Double]("tc"),
              r.getAs[Double]("td"), r.getAs[Double]("te"), r.getAs[Double]("tf")),
       r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[Double]("nodata"),
-      attrs),
+      attrs, dtype),
      r.getAs[Int]("tile_size"))
   }
 
