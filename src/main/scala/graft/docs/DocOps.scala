@@ -399,7 +399,7 @@ object DocOps {
   }
 
   /** DuckDB mirror of [[geomCellCoverS2Rect]] — same bbox arithmetic, same
-    * per-corner face/uv CASE chains (CTE-staged), same ROUND(,9)-guarded st
+    * per-corner face/uv CASE chains (CTE-staged), same StEps-guarded st
     * indices, same hull-vs-lattice split, UNION ALL of the two branches. */
   def geomCellCoverS2RectSql(table: String, grid: GridRef, level: Int,
                              samples: Int = 9): String = {
@@ -451,7 +451,7 @@ object DocOps {
       s"CASE WHEN $e >= 0 THEN 0.5*SQRT(1.0 + 3.0*($e)) ELSE 1.0 - 0.5*SQRT(1.0 - 3.0*($e)) END"
     val n = 1L << level
     def idx(e: String) =
-      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(ROUND(($e) * $n, 9)) AS BIGINT)))"
+      s"LEAST(${n - 1}, GREATEST(0, CAST(FLOOR(($e) * $n + ${Cells.StEpsSql}) AS BIGINT)))"
     val morton = (0 until level).flatMap { b =>
       Seq(s"((si & ${1L << b}) << $b)", s"((ti & ${1L << b}) << ${b + 1})")
     }.mkString(" | ")
@@ -620,6 +620,31 @@ object DocOps {
        |tiles AS (
        |  SELECT tid AS tile_id, cell_id FROM (
        |    ${Hex.cellIdSql(tileSrc, lon, lat, res, Seq("tid"))}))
+       |SELECT c.doc_id, t.tile_id, c.cell_id
+       |FROM cover c JOIN tiles t ON c.cell_id = t.cell_id
+       |ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** DuckDB mirror of [[spatialTileAssignmentsS2]]: the st-rect cover CTE
+    * joined to tile-centre S2 cells, identical CASE/arithmetic lockstep. */
+  def spatialTileAssignmentsS2Sql(table: String, grid: GridRef, level: Int): String = {
+    val t = grid.transform
+    val (r, lon0) = grid.crs.proj match {
+      case Sinusoidal(rr, l0) => (rr, l0)
+      case p => throw new IllegalArgumentException(s"oracle supports sinusoidal, got $p")
+    }
+    val tilePx = grid.width / TileGridN
+    val pr = s"(CAST(tid // $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val pc = s"(CAST(tid % $TileGridN AS DOUBLE) * $tilePx + ${tilePx / 2.0})"
+    val tx = s"(${t.a} * $pc + ${t.c})"
+    val ty = s"(${t.e} * $pr + ${t.f})"
+    val lat = s"(($ty) / $r) / ${WarpOps.D2R}"
+    val lon = s"(($tx) / ($r * COS(($ty) / $r))) / ${WarpOps.D2R} + $lon0"
+    val tileSrc = s"SELECT CAST(i AS BIGINT) AS tid FROM generate_series(0, ${TileGridN * TileGridN - 1}) t(i)"
+    s"""WITH cover AS (${geomCellCoverS2RectSql(table, grid, level)}),
+       |tiles AS (
+       |  SELECT tid AS tile_id, cell_id FROM (
+       |    ${Cells.s2CellIdSql(tileSrc, lon, lat, level, Seq("tid"))}))
        |SELECT c.doc_id, t.tile_id, c.cell_id
        |FROM cover c JOIN tiles t ON c.cell_id = t.cell_id
        |ORDER BY 1, 2, 3""".stripMargin
