@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // opt-in flight recording for allocation/GC diagnosis:
+  //   GRAFT_JFR=/tmp/x.jfr sbt "Test/runMain ..."
+  sys.env.get("GRAFT_JFR").map(f =>
+    s"-XX:StartFlightRecording=filename=$f,settings=profile").toSeq

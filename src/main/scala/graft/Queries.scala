@@ -457,8 +457,8 @@ object Queries {
   def qCellIndexS2(spark: SparkSession, sfDir: String): DataFrame = {
     val px = Synth.pixels(spark, modis).filter((col("row") * 200 + col("col")) % 7 === 0)
     val (lon, lat) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
-    px.select(col("row"), col("col"),
-        Cells.s2CellIdColumn(lon, lat, cellLevel).as("cell_id"))
+    Cells.withS2CellId(px, lon, lat, cellLevel, "cell_id")
+      .select("row", "col", "cell_id")
       .orderBy("row", "col")
   }
 
@@ -469,8 +469,8 @@ object Queries {
   def qCellIndexHex(spark: SparkSession, sfDir: String): DataFrame = {
     val px = Synth.pixels(spark, modis).filter((col("row") * 200 + col("col")) % 7 === 0)
     val (lon, lat) = WarpOps.inverseColumns(Crs.MODIS_SINU, col("x"), col("y"))
-    px.select(col("row"), col("col"),
-        graft.core.Hex.cellIdColumn(lon, lat, hexRes).as("cell_id"))
+    graft.core.Hex.withCellId(px, lon, lat, hexRes, "cell_id")
+      .select("row", "col", "cell_id")
       .orderBy("row", "col")
   }
 

@@ -278,6 +278,55 @@ object Cells {
       .bitwiseOR(lit(level.toLong))
   }
 
+  /** DataFrame-staged S2 cell id — identical arithmetic to
+    * [[s2CellIdColumn]] but materialized through chained Projects so every
+    * sub-expression is computed once and referenced by attribute, exactly
+    * like the CTE chain of [[s2CellIdSql]].
+    *
+    * The single-Column form duplicates the full face/u/v CASE trees into
+    * every morton bit term (mortonColumn references si/ti once per bit):
+    * ~40k Catalyst nodes at level 10, which serialized into a ~10 MB task
+    * binary that EVERY task of the consuming stage re-deserialized — the
+    * deep-recursion ObjectInputStream garbage behind the round-4 S2
+    * flagship's GC stalls (JFR-profiled; Spark's own "Broadcasting large
+    * task binary with size 9.9 MiB" warning names it). The staged form is
+    * a few hundred nodes; CollapseProject cannot re-inline the stages
+    * because every alias is referenced more than once by non-cheap
+    * consumers. Per-row results are bit-identical: same IEEE ops in the
+    * same order, only the expression DAG sharing differs. */
+  def withS2CellId(df: org.apache.spark.sql.DataFrame, lon: Column, lat: Column,
+                   level: Int, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{cos => fcos, sin => fsin, abs => fabs, when, col}
+    val keep = df.columns.toSeq
+    def cols(names: Seq[String]): Seq[Column] = names.map(col)
+    val lonR = lon * Projection.D2R; val latR = lat * Projection.D2R
+    val s1 = df.select(cols(keep) ++ Seq(
+      (fcos(latR) * fcos(lonR)).as("_sx"),
+      (fcos(latR) * fsin(lonR)).as("_sy"),
+      fsin(latR).as("_sz")): _*)
+    val (sx, sy, sz) = (col("_sx"), col("_sy"), col("_sz"))
+    val (ax, ay, az) = (fabs(sx), fabs(sy), fabs(sz))
+    val face = when(ax >= ay && ax >= az, when(sx > 0d, 0L).otherwise(3L))
+      .otherwise(when(ay >= az, when(sy > 0d, 1L).otherwise(4L))
+        .otherwise(when(sz > 0d, 2L).otherwise(5L)))
+    val s2 = s1.select(cols(keep ++ Seq("_sx", "_sy", "_sz")) :+ face.as("_f"): _*)
+    val f = col("_f")
+    val u = when(f === 0L, sy / sx).when(f === 3L, sz / sx)
+      .when(f === 1L, -sx / sy).when(f === 4L, sz / sy)
+      .when(f === 2L, -sx / sz).otherwise(-sy / sz)
+    val v = when(f === 0L, sz / sx).when(f === 3L, sy / sx)
+      .when(f === 1L, sz / sy).when(f === 4L, -sx / sy)
+      .when(f === 2L, -sy / sz).otherwise(-sx / sz)
+    val s3 = s2.select(cols(keep :+ "_f") ++ Seq(u.as("_u"), v.as("_v")): _*)
+    val s4 = s3.select(cols(keep :+ "_f") ++ Seq(
+      s2StIdxColumn(col("_u"), level).as("_si"),
+      s2StIdxColumn(col("_v"), level).as("_ti")): _*)
+    val id = shiftleft(shiftleft(col("_f"), 2 * level)
+        .bitwiseOR(mortonColumn(col("_si"), col("_ti"), level)), 5)
+      .bitwiseOR(lit(level.toLong))
+    s4.select(cols(keep) :+ id.as(out): _*)
+  }
+
   /** DuckDB mirror of [[s2CellIdColumn]]: wraps `srcSql` in a CTE chain
     * (inline expansion of the nested CASEs would blow up exponentially) and
     * returns `outCols` + `cell_id` — identical CASE nesting and arithmetic

@@ -139,6 +139,48 @@ object Hex {
       .bitwiseOR(lit(resN.toLong))
   }
 
+  /** DataFrame-staged hex cell id — identical arithmetic to
+    * [[cellIdColumn]] with every sub-expression computed once through
+    * chained Projects (the Cells.withS2CellId pattern: the single-Column
+    * form re-inlines the qf/rf trees into each cube-round branch, and the
+    * resulting ~2 MB task binary is re-deserialized per task of the
+    * consuming stage). Bit-identical per row; only expression sharing
+    * differs. */
+  def withCellId(df: org.apache.spark.sql.DataFrame, lon: Column, lat: Column,
+                 resN: Int, out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = df.columns.toSeq
+    def cols(ns: Seq[String]): Seq[Column] = ns.map(col)
+    val co = lit(cosT(resN)); val si = lit(sinT(resN))
+    val x = co * lon + si * lat
+    val y = (-si) * lon + co * lat
+    val sz = size(resN)
+    val s0 = df.select(cols(keep) ++ Seq(
+      ((lit(Sq3 / 3.0) * x - lit(1.0 / 3.0) * y) / sz).as("_qf"),
+      ((lit(2.0 / 3.0) * y) / sz).as("_rf")): _*)
+    // _yf staged with the cellIdColumn's exact op order (-xf - zf), so the
+    // fp value feeding the round and the d-comparisons is bit-identical
+    val s1 = s0.select(cols(keep ++ Seq("_qf", "_rf")) :+
+      (-col("_qf") - col("_rf")).as("_yf"): _*)
+    val xf = col("_qf"); val zf = col("_rf"); val yf = col("_yf")
+    val s2 = s1.select(cols(keep ++ Seq("_qf", "_rf", "_yf")) ++ Seq(
+      roundHalfUp(xf).as("_rx"), roundHalfUp(yf).as("_ry"),
+      roundHalfUp(zf).as("_rz")): _*)
+    val dx = abs(col("_rx") - xf); val dy = abs(col("_ry") - yf)
+    val dz = abs(col("_rz") - zf)
+    val s3 = s2.select(cols(keep ++ Seq("_rx", "_ry", "_rz")) ++ Seq(
+      dx.as("_dx"), dy.as("_dy"), dz.as("_dz")): _*)
+    val qq = when(col("_dx") > col("_dy") && col("_dx") > col("_dz"),
+      -col("_ry") - col("_rz")).otherwise(col("_rx")).cast("long")
+    val rr = when(!(col("_dx") > col("_dy") && col("_dx") > col("_dz")) &&
+        !(col("_dy") > col("_dz")), -col("_rx") - col("_ry"))
+      .otherwise(col("_rz")).cast("long")
+    val s4 = s3.select(cols(keep) ++ Seq(qq.as("_qq"), rr.as("_rr")): _*)
+    val id = shiftleft(shiftleft(col("_qq") + Bias, 29).bitwiseOR(col("_rr") + Bias), 5)
+      .bitwiseOR(lit(resN.toLong))
+    s4.select(cols(keep) :+ id.as(out): _*)
+  }
+
   // ---- hex-vs-rect cover support (SAT) -----------------------------------
 
   /** Axial float coords (pre-rounding) as Columns — the candidate-range

@@ -182,8 +182,8 @@ object DocOps {
           (col("i").cast("double") / lit(k))).as("lon"),
         (col("lat_min") + (col("lat_max") - col("lat_min")) *
           (col("j").cast("double") / lit(k))).as("lat"))
-    lattice
-      .select(col("doc_id"), Cells.s2CellIdColumn(col("lon"), col("lat"), level).as("cell_id"))
+    Cells.withS2CellId(lattice, col("lon"), col("lat"), level, "cell_id")
+      .select("doc_id", "cell_id")
       .distinct()
   }
 
@@ -573,8 +573,11 @@ object DocOps {
     val tx = lit(t.a) * col("pcol") + lit(t.c)
     val ty = lit(t.e) * col("prow") + lit(t.f)
     val (lon, lat) = WarpOps.inverseColumns(grid.crs, tx, ty)
-    val tileCells = tiles.select(col("tile_id"),
-      Cells.s2CellIdColumn(lon, lat, level).as("cell_id"))
+    // staged cell id: the single-Column form's ~40k-node tree rode the
+    // STREAM stage's task binary (9.9 MB) and its per-task deserialization
+    // was the S2 flagship's GC bomb — see Cells.withS2CellId
+    val tileCells = Cells.withS2CellId(tiles, lon, lat, level, "cell_id")
+      .select("tile_id", "cell_id")
     cover.join(broadcast(tileCells), "cell_id")
       .select("doc_id", "tile_id", "cell_id")
   }
@@ -595,8 +598,8 @@ object DocOps {
     val tx = lit(t.a) * col("pcol") + lit(t.c)
     val ty = lit(t.e) * col("prow") + lit(t.f)
     val (lon, lat) = WarpOps.inverseColumns(grid.crs, tx, ty)
-    val tileCells = tiles.select(col("tile_id"),
-      Hex.cellIdColumn(lon, lat, res).as("cell_id"))
+    val tileCells = Hex.withCellId(tiles, lon, lat, res, "cell_id")
+      .select("tile_id", "cell_id")
     cover.join(broadcast(tileCells), "cell_id")
       .select("doc_id", "tile_id", "cell_id")
   }

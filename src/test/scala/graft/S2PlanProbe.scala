@@ -47,8 +47,6 @@ object S2PlanProbe {
       }
     })
     time("s2 full runS2 #1") { println(DocPipeline.runS2(spark, n, parallelism = 128)) }
-    time("s2 full runS2 #2") { println(DocPipeline.runS2(spark, n, parallelism = 128)) }
-    time("quad full run") { println(DocPipeline.run(spark, n, 12, 128)) }
     spark.stop()
   }
 }

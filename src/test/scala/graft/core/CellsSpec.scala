@@ -99,4 +99,34 @@ class CellsSpec extends SparkTestBase {
       assert(got(id) == Cells.s2CellId(lon, lat, 10), s"point $id ($lon,$lat)")
     }
   }
+
+  test("staged withS2CellId / Hex.withCellId are bit-identical to the Column forms") {
+    // the staged forms exist because the single-Column trees explode to
+    // ~40k nodes (10 MB task binaries re-deserialized per task — the
+    // round-4 S2 flagship GC stall); identical per-row results required
+    import spark.implicits._
+    val sample = (0 until 2000).map { i =>
+      (i.toLong, -180.0 + (i * 7919 % 3600) / 10.0, -89.0 + (i * 104729 % 1780) / 10.0)
+    }
+    val df = sample.toDF("id", "lon", "lat")
+    for (level <- Seq(7, 10, 12)) {
+      val staged = Cells.withS2CellId(df, col("lon"), col("lat"), level, "cell")
+        .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sample.foreach { case (id, lon, lat) =>
+        assert(staged(id) == Cells.s2CellId(lon, lat, level),
+          s"s2 point $id ($lon,$lat) level $level")
+      }
+    }
+    for (res <- Seq(5, 8)) {
+      val colForm = df.select(col("id"),
+        Hex.cellIdColumn(col("lon"), col("lat"), res).as("cell"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val staged = Hex.withCellId(df, col("lon"), col("lat"), res, "cell")
+        .select("id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(staged == colForm, s"hex res $res")
+      sample.foreach { case (id, lon, lat) =>
+        assert(staged(id) == Hex.cellId(lon, lat, res), s"hex point $id res $res")
+      }
+    }
+  }
 }
