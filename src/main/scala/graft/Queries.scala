@@ -631,6 +631,31 @@ object Queries {
       graft.docs.DocOps.interleave(documents(spark, sfDir)), modis, level = 7)
       .orderBy("doc_id", "cell_id")
 
+  /** Face-straddling S2 covers through the kernel's three-branch split
+    * (round-4, VERDICT r3 #8): boxes 12° wide in lon at low latitude, so
+    * most cross a 45° face-boundary/centre line and take the EXACT
+    * piecewise hull; every 7th doc is a polar-cap box crossing lon 90°,
+    * exercising the residual lattice arm; the rest hit the single-face
+    * fast path. Oracle: the same three-way branch in SQL. */
+  def qDocGeomCellsS2Multiface(spark: SparkSession, sfDir: String): DataFrame = {
+    val bbox = multifaceBbox(documents(spark, sfDir))
+    graft.docs.DocOps.s2RectCoverFromBbox(bbox, level = 7)
+      .orderBy("doc_id", "cell_id")
+  }
+
+  /** (doc_id, lon_min, lon_max, lat_min, lat_max) straddling fixture —
+    * arithmetic mirrored literally in [[Oracles.docGeomCellsS2Multiface]]. */
+  def multifaceBbox(docs: DataFrame): DataFrame = {
+    val isPolar = col("doc_id") % 7 === 0
+    val lonC = when(isPolar, lit(88.0))
+      .otherwise((col("doc_id") * 29 % 300).cast("double") - 150.0)
+    val latC = when(isPolar, lit(80.0))
+      .otherwise((col("doc_id") * 11 % 60).cast("double") - 30.0)
+    docs.select(col("doc_id"),
+      (lonC - 6.0).as("lon_min"), (lonC + 6.0).as("lon_max"),
+      (latC - 2.0).as("lat_min"), (latC + 2.0).as("lat_max"))
+  }
+
   /** H3-style hex cover of each doc geometry (SAT-exact hexagon-vs-bbox,
     * map-only). res 5 hexes (~0.12°) suit the fixture's ≤0.8° boxes; the
     * same op runs at any res in the 7-12 band at production cell sizes. */
@@ -995,6 +1020,14 @@ object Queries {
     def docGeomCellsS2: String = graft.docs.DocOps.geomCellCoverS2Sql("documents", modis, 7)
     def docGeomCellsS2Rect: String =
       graft.docs.DocOps.geomCellCoverS2RectSql("documents", modis, 7)
+    def docGeomCellsS2Multiface: String = {
+      val lonC = "CASE WHEN doc_id % 7 = 0 THEN 88.0 ELSE CAST((doc_id * 29) % 300 AS DOUBLE) - 150.0 END"
+      val latC = "CASE WHEN doc_id % 7 = 0 THEN 80.0 ELSE CAST((doc_id * 11) % 60 AS DOUBLE) - 30.0 END"
+      graft.docs.DocOps.s2RectCoverSqlFromBbox(
+        s"""SELECT doc_id, ($lonC) - 6.0 AS lon_min, ($lonC) + 6.0 AS lon_max,
+           |       ($latC) - 2.0 AS lat_min, ($latC) + 2.0 AS lat_max
+           |FROM documents""".stripMargin, 7)
+    }
     def docGeomCellsHex: String =
       graft.docs.DocOps.geomCellCoverHexSql("documents", modis, 5)
     def docTileSpatialHex: String =

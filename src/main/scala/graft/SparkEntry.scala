@@ -93,6 +93,7 @@ object SparkEntry {
     "q_doc_geom_cells" -> (Queries.qDocGeomCells _),
     "q_doc_geom_cells_s2" -> (Queries.qDocGeomCellsS2 _),
     "q_doc_geom_cells_s2_rect" -> (Queries.qDocGeomCellsS2Rect _),
+    "q_doc_geom_cells_s2_multiface" -> (Queries.qDocGeomCellsS2Multiface _),
     "q_cell_index_hex" -> (Queries.qCellIndexHex _),
     "q_doc_geom_cells_hex" -> (Queries.qDocGeomCellsHex _),
     "q_doc_tile_spatial_hex" -> (Queries.qDocTileSpatialHex _),
@@ -203,6 +204,7 @@ object SparkEntry {
       "q_doc_geom_cells" -> Oracles.docGeomCells,
       "q_doc_geom_cells_s2" -> Oracles.docGeomCellsS2,
       "q_doc_geom_cells_s2_rect" -> Oracles.docGeomCellsS2Rect,
+      "q_doc_geom_cells_s2_multiface" -> Oracles.docGeomCellsS2Multiface,
       "q_cell_index_hex" -> Oracles.cellIndexHex,
       "q_doc_geom_cells_hex" -> Oracles.docGeomCellsHex,
       "q_doc_tile_spatial_hex" -> Oracles.docTileSpatialHex,

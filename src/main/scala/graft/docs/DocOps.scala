@@ -231,16 +231,22 @@ object DocOps {
   def geomCellCoverS2Rect(docsSpans: DataFrame, grid: GridRef, level: Int,
                           latticeSamples: Int = 9): DataFrame =
     // ONE static-kernel call per doc (functions.S2RectCover: exact st-rect
-    // hull on a single face, distinct lattice as the multi-face fallback)
-    // + one explode. A first pure-Column formulation inlined the 4-corner
-    // face/uv CASE trees twice across a union and ran INTERPRETED past the
-    // JIT threshold — 4x slower than the lattice it replaced; the kernel
-    // form is the LshBuckets lesson applied again (see S2RectCover doc).
-    geomBbox(docsSpans, grid)
-      .select(col("doc_id"),
-        explode(graft.functions.S2RectCover.column(
-          col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"),
-          level, latticeSamples)).as("cell_id"))
+    // hull, single-face or 45°-piecewise, lattice only for polar-cap
+    // straddlers) + one explode. A first pure-Column formulation inlined
+    // the 4-corner face/uv CASE trees twice across a union and ran
+    // INTERPRETED past the JIT threshold — 4x slower than the lattice it
+    // replaced; the kernel form is the LshBuckets lesson applied again.
+    s2RectCoverFromBbox(geomBbox(docsSpans, grid), level, latticeSamples)
+
+  /** Kernel cover over ANY (doc_id, lon_min, lon_max, lat_min, lat_max)
+    * frame (shared by the grid-derived cover above and the multiface
+    * catalog fixture). */
+  def s2RectCoverFromBbox(bbox: DataFrame, level: Int,
+                          latticeSamples: Int = 9): DataFrame =
+    bbox.select(col("doc_id"),
+      explode(graft.functions.S2RectCover.column(
+        col("lon_min"), col("lat_min"), col("lon_max"), col("lat_max"),
+        level, latticeSamples)).as("cell_id"))
 
   def geomCellCoverS2Sql(table: String, grid: GridRef, level: Int,
                          samples: Int = 9): String = {
@@ -400,7 +406,9 @@ object DocOps {
 
   /** DuckDB mirror of [[geomCellCoverS2Rect]] — same bbox arithmetic, same
     * per-corner face/uv CASE chains (CTE-staged), same StEps-guarded st
-    * indices, same hull-vs-lattice split, UNION ALL of the two branches. */
+    * indices, same three-way branch split as the kernel (single-face hull /
+    * exact 45°-piece multi-face hull / polar lattice), UNION ALL of the
+    * branches. */
   def geomCellCoverS2RectSql(table: String, grid: GridRef, level: Int,
                              samples: Int = 9): String = {
     val t = grid.transform
@@ -423,16 +431,32 @@ object DocOps {
     val lonMax = s"GREATEST(${corners.map(_._1).mkString(", ")})"
     val latMin = s"LEAST(${corners.map(_._2).mkString(", ")})"
     val latMax = s"GREATEST(${corners.map(_._2).mkString(", ")})"
+    s2RectCoverSqlFromBbox(
+      s"""SELECT doc_id, $lonMin AS lon_min, $lonMax AS lon_max,
+         |       $latMin AS lat_min, $latMax AS lat_max FROM $table""".stripMargin,
+      level, samples)
+  }
+
+  /** The three-branch S2 rect-cover SQL over ANY
+    * (doc_id, lon_min, lon_max, lat_min, lat_max) source — the exact
+    * machinery of [[geomCellCoverS2RectSql]] with the bbox head
+    * parameterized (the multiface catalog query builds straddling boxes
+    * directly in degrees). */
+  def s2RectCoverSqlFromBbox(bboxSql: String, level: Int,
+                             samples: Int = 9): String = {
     val d2r = graft.core.Projection.D2R
-    // bbox corners (k = 1..4) in the same order as the Column version
-    val cc = Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
-                 ("lon_min", "lat_max"), ("lon_max", "lat_max"))
-    val xyz = cc.zipWithIndex.map { case ((lo, la), i) =>
-      val k = i + 1
-      s"""COS(($la) * $d2r) * COS(($lo) * $d2r) AS _sx$k,
-         |COS(($la) * $d2r) * SIN(($lo) * $d2r) AS _sy$k,
-         |SIN(($la) * $d2r) AS _sz$k""".stripMargin
+    // corner xyz (k = 1..4) in the same order as the kernel
+    def xyzFor(cs: Seq[(String, String)]): String = cs.zipWithIndex.map {
+      case ((lo, la), i) =>
+        val k = i + 1
+        s"""COS(($la) * $d2r) * COS(($lo) * $d2r) AS _sx$k,
+           |COS(($la) * $d2r) * SIN(($lo) * $d2r) AS _sy$k,
+           |SIN(($la) * $d2r) AS _sz$k""".stripMargin
     }.mkString(",\n")
+    val xyz = xyzFor(Seq(("lon_min", "lat_min"), ("lon_max", "lat_min"),
+                         ("lon_min", "lat_max"), ("lon_max", "lat_max")))
+    val pxyz = xyzFor(Seq(("pa", "lat_min"), ("pb", "lat_min"),
+                          ("pa", "lat_max"), ("pb", "lat_max")))
     def face(k: Int) =
       s"""CASE WHEN ABS(_sx$k) >= ABS(_sy$k) AND ABS(_sx$k) >= ABS(_sz$k)
          |         THEN CASE WHEN _sx$k > 0 THEN 0 ELSE 3 END
@@ -455,10 +479,20 @@ object DocOps {
     val morton = (0 until level).flatMap { b =>
       Seq(s"((si & ${1L << b}) << $b)", s"((ti & ${1L << b}) << ${b + 1})")
     }.mkString(" | ")
+    // fixed-face piece u/v + the polar-dominance gate (the kernel's
+    // expectedFace branch — corner faces can tie onto a neighbour at exact
+    // 45° boundaries, so the octant decides the face, not the corners)
+    def pu(k: Int) =
+      s"""CASE pf WHEN 0 THEN _sy$k/_sx$k WHEN 1 THEN -_sx$k/_sy$k
+         |        WHEN 3 THEN _sz$k/_sx$k ELSE _sz$k/_sy$k END""".stripMargin
+    def pv(k: Int) =
+      s"""CASE pf WHEN 0 THEN _sz$k/_sx$k WHEN 1 THEN _sz$k/_sy$k
+         |        WHEN 3 THEN _sy$k/_sx$k ELSE -_sx$k/_sy$k END""".stripMargin
+    def pg(k: Int) =
+      s"(ABS(CASE WHEN pf IN (0, 3) THEN _sx$k ELSE _sy$k END) >= ABS(_sz$k))"
     val k = (samples - 1).toDouble
     s"""WITH _b AS (
-       |  SELECT doc_id, $lonMin AS lon_min, $lonMax AS lon_max,
-       |         $latMin AS lat_min, $latMax AS lat_max FROM $table),
+       |$bboxSql),
        |_bxyz AS (SELECT *, $xyz FROM _b),
        |_fc AS (SELECT *, ${(1 to 4).map(i => s"${face(i)} AS _f$i").mkString(", ")} FROM _bxyz),
        |_buv AS (SELECT *, ${(1 to 4).map(i => s"${u(i)} AS _u$i, ${v(i)} AS _v$i").mkString(", ")} FROM _fc),
@@ -477,17 +511,55 @@ object DocOps {
        |_hull AS (
        |  SELECT doc_id, (((CAST(f AS BIGINT) << ${2 * level}) | ($morton)) << 5) | $level AS cell_id
        |  FROM _hc),
+       |_pk AS (
+       |  SELECT doc_id, lon_min, lon_max, lat_min, lat_max,
+       |    unnest(generate_series(CAST(FLOOR(lon_min / 45.0) AS BIGINT),
+       |                           CAST(FLOOR(lon_max / 45.0) AS BIGINT))) AS pk
+       |  FROM _ann
+       |  WHERE NOT ok
+       |    AND CAST(FLOOR(lon_max / 45.0) AS BIGINT)
+       |        - CAST(FLOOR(lon_min / 45.0) AS BIGINT) <= 8
+       |    AND lon_min >= -180.0 AND lon_max <= 180.0),
+       |_pab AS (
+       |  SELECT doc_id, pk, lat_min, lat_max,
+       |    GREATEST(lon_min, pk * 45.0) AS pa, LEAST(lon_max, (pk + 1) * 45.0) AS pb
+       |  FROM _pk),
+       |_pxyz AS (SELECT *, $pxyz FROM _pab WHERE pa < pb),
+       |_pfc AS (SELECT *,
+       |  CASE ((pk % 8) + 8) % 8 WHEN 0 THEN 0 WHEN 7 THEN 0
+       |       WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 3 WHEN 4 THEN 3
+       |       ELSE 4 END AS pf
+       |  FROM _pxyz),
+       |_puv AS (SELECT *, ${(1 to 4).map(i => s"${pu(i)} AS _u$i, ${pv(i)} AS _v$i, ${pg(i)} AS _g$i").mkString(", ")} FROM _pfc),
+       |_pann AS (SELECT doc_id, pf AS f,
+       |    LEAST(_u1, _u2, _u3, _u4) AS u_lo, GREATEST(_u1, _u2, _u3, _u4) AS u_hi,
+       |    LEAST(_v1, _v2, _v3, _v4) AS v_lo, GREATEST(_v1, _v2, _v3, _v4) AS v_hi,
+       |    (_g1 AND _g2 AND _g3 AND _g4) AS pok
+       |  FROM _puv),
+       |_okdocs AS (SELECT doc_id FROM _pann GROUP BY doc_id HAVING BOOL_AND(pok)),
+       |_prng AS (
+       |  SELECT p.doc_id, p.f, ${idx(st("p.u_lo"))} AS s0, ${idx(st("p.u_hi"))} AS s1,
+       |         ${idx(st("p.v_lo"))} AS t0, ${idx(st("p.v_hi"))} AS t1
+       |  FROM _pann p JOIN _okdocs d ON p.doc_id = d.doc_id),
+       |_ps AS (SELECT doc_id, f, t0, t1, unnest(generate_series(s0, s1)) AS si FROM _prng),
+       |_pc2 AS (SELECT doc_id, f, si, unnest(generate_series(t0, t1)) AS ti FROM _ps),
+       |_mhull AS (
+       |  SELECT DISTINCT doc_id,
+       |    (((CAST(f AS BIGINT) << ${2 * level}) | ($morton)) << 5) | $level AS cell_id
+       |  FROM _pc2),
        |_latt AS (
        |  SELECT DISTINCT doc_id, cell_id FROM (
        |    ${Cells.s2CellIdSql(
                 s"""SELECT doc_id,
                    |  lon_min + (lon_max - lon_min) * (CAST(i.i AS DOUBLE) / $k) AS lon,
                    |  lat_min + (lat_max - lat_min) * (CAST(j.j AS DOUBLE) / $k) AS lat
-                   |FROM (SELECT * FROM _ann WHERE NOT ok) b,
+                   |FROM (SELECT * FROM _ann WHERE NOT ok
+                   |      AND doc_id NOT IN (SELECT doc_id FROM _okdocs)) b,
                    |     generate_series(0, ${samples - 1}) i(i),
                    |     generate_series(0, ${samples - 1}) j(j)""".stripMargin,
                 "lon", "lat", level, Seq("doc_id"))}))
        |SELECT doc_id, cell_id FROM _hull
+       |UNION ALL SELECT doc_id, cell_id FROM _mhull
        |UNION ALL SELECT doc_id, cell_id FROM _latt
        |ORDER BY doc_id, cell_id""".stripMargin
   }

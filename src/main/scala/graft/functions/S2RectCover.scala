@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * the 81-sample lattice it was meant to replace (the exact failure mode
   * of round 2's unrolled LSH planes, BASELINE.md). This kernel is the
   * LshBuckets fix applied again: one compiled static call per row computes
-  * the corner geometry, picks the exact st-rect hull on a single cube face
-  * (or the distinct lattice when the bbox straddles faces / a 90° meridian)
-  * and returns the packed cell array; the caller just explodes it.
+  * the corner geometry and picks the exact st-rect hull — on a single cube
+  * face directly, or piecewise after splitting the lon range at 45°
+  * multiples when the bbox straddles faces or a face-centre meridian (the
+  * distinct sample lattice remains only as the polar-cap fallback) — and
+  * returns the packed cell array; the caller just explodes it.
   *
   * Arithmetic is the SCALAR mirror of Cells.s2CellIdColumn — the same
   * java.lang.Math trig the codegen'd Column form calls and the same
@@ -82,6 +84,17 @@ object S2RectCover {
     }
   }
 
+  /** Equatorial face of the 45°-octant with index k = floor(lon/45):
+    * octave classes {7,0}→face 0 (centre 0°), {1,2}→1 (90°), {3,4}→3
+    * (180°), {5,6}→4 (−90°). */
+  private def expectedFace(k: Long): Long = {
+    val km = ((k % 8) + 8) % 8
+    if (km == 0 || km == 7) 0L
+    else if (km <= 2) 1L
+    else if (km <= 4) 3L
+    else 4L
+  }
+
   def cells(lonMin: Double, latMin: Double, lonMax: Double, latMax: Double,
             level: Int, samples: Int): ArrayData = {
     val fuv = new Array[Double](3)
@@ -119,19 +132,86 @@ object S2RectCover {
       // per-row Generic->Unsafe conversion copy
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
     } else {
-      // multi-face / meridian-spanning fallback: the distinct sample lattice
-      val k = (samples - 1).toDouble
+      // EXACT multi-piece split (round-4, VERDICT r3 #8): cut the lon range
+      // at every multiple of 45° — cube-face boundaries AND face centres —
+      // so each piece lies on ONE equatorial face on one side of its centre
+      // meridian, where u = tan(λrel) is lon-monotone and sec(λrel) is
+      // monotone over the piece, putting all four u/v extremes at piece
+      // corners. Each piece then gets the same exact st-rect hull as the
+      // single-face path; the union (deduped — adjacent pieces can share a
+      // boundary cell column) is the exact cover. A piece whose corners do
+      // not agree on one equatorial face (polar involvement, exact-boundary
+      // ties) drops the whole box to the total lattice fallback — the only
+      // inputs that still sample are polar-cap / high-latitude
+      // face-straddlers, where the corner-extreme argument genuinely fails.
+      val k0 = math.floor(lonMin / 45.0).toLong
+      val k1 = math.floor(lonMax / 45.0).toLong
+      var exact = k1 - k0 <= 8 && lonMin >= -180.0 && lonMax <= 180.0
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i < samples) {
-        var j = 0
-        while (j < samples) {
-          val lon = lonMin + (lonMax - lonMin) * (i / k)
-          val lat = latMin + (latMax - latMin) * (j / k)
-          seen.add(Cells.s2CellId(lon, lat, level))
-          j += 1
+      var k = k0
+      while (exact && k <= k1) {
+        val a = math.max(lonMin, k * 45.0)
+        val b = math.min(lonMax, (k + 1) * 45.0)
+        if (a < b) {
+          // the piece's face follows from its octant alone (a corner landing
+          // EXACTLY on a face boundary would tie-break onto the neighbour
+          // face, so corner-agreement is the wrong gate); u/v are then the
+          // fixed-face formulas over the corner xyz, and the only remaining
+          // validity condition is that no corner is polar-dominated
+          val f = expectedFace(k)
+          var uLo = Double.MaxValue; var uHi = Double.MinValue
+          var vLo = Double.MaxValue; var vHi = Double.MinValue
+          var c = 0
+          while (exact && c < 4) {
+            val lon = (if ((c & 1) == 0) a else b) * graft.core.Projection.D2R
+            val lat = (if (c < 2) latMin else latMax) * graft.core.Projection.D2R
+            val cl = math.cos(lat)
+            val x = cl * math.cos(lon)
+            val y = cl * math.sin(lon)
+            val z = math.sin(lat)
+            val horiz = if (f == 0L || f == 3L) x else y
+            if (math.abs(horiz) >= math.abs(z)) {
+              val (u, v) =
+                if (f == 0L) (y / x, z / x)
+                else if (f == 1L) (-x / y, z / y)
+                else if (f == 3L) (z / x, y / x)
+                else (z / y, -x / y) // f == 4
+              uLo = math.min(uLo, u); uHi = math.max(uHi, u)
+              vLo = math.min(vLo, v); vHi = math.max(vHi, v)
+            } else exact = false // polar-dominated corner: lattice
+            c += 1
+          }
+          if (exact) {
+            val s0 = stIdx(uLo, level); val s1 = stIdx(uHi, level)
+            val t0 = stIdx(vLo, level); val t1 = stIdx(vHi, level)
+            var si = s0
+            while (si <= s1) {
+              var ti = t0
+              while (ti <= t1) {
+                seen.add((((f << (2 * level)) | Cells.morton(si, ti)) << 5) | level.toLong)
+                ti += 1
+              }
+              si += 1
+            }
+          }
         }
-        i += 1
+        k += 1
+      }
+      if (!exact || seen.isEmpty) {
+        // total fallback: the distinct sample lattice
+        seen.clear()
+        val kk = (samples - 1).toDouble
+        var i = 0
+        while (i < samples) {
+          var j = 0
+          while (j < samples) {
+            val lon = lonMin + (lonMax - lonMin) * (i / kk)
+            val lat = latMin + (latMax - latMin) * (j / kk)
+            seen.add(Cells.s2CellId(lon, lat, level))
+            j += 1
+          }
+          i += 1
+        }
       }
       val out = new Array[Long](seen.size())
       val it = seen.iterator()

@@ -110,6 +110,53 @@ class DocOpsSpec extends SparkTestBase {
     }
   }
 
+  test("multi-face S2 cover: exact piecewise hull; lattice only for polar straddlers") {
+    val level = 7
+    def kernel(lo: Double, la: Double, hi: Double, lb: Double): Set[Long] = {
+      val a = graft.functions.S2RectCover.cells(lo, la, hi, lb, level, 9)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    def lattice(lo: Double, la: Double, hi: Double, lb: Double): Set[Long] =
+      (for (i <- 0 to 8; j <- 0 to 8) yield Cells.s2CellId(
+        lo + (hi - lo) * (i / 8.0), la + (lb - la) * (j / 8.0), level)).toSet
+    // equatorial straddlers: every face boundary (±45, ±90, ±135) and the
+    // face-0 centre (0°) — all must take the EXACT piecewise branch
+    val exact = Seq(
+      (-50.0, -10.0, -38.0, -6.0),   // crosses -45 (faces 4|0)
+      (82.0, 10.0, 97.0, 14.0),      // crosses 90 (faces 1: centre!)
+      (-6.0, -2.0, 6.0, 2.0),        // same face 0, crosses its centre 0°
+      (130.0, 20.0, 141.0, 24.0),    // crosses 135 (faces 1|3)
+      (-100.0, -33.0, -80.0, -28.0), // crosses -90 (face 4 centre)
+      (170.0, 5.0, 179.0, 9.0),      // face 3, no straddle sanity
+      (40.0, 30.0, 50.0, 34.0))      // crosses 45 near the lat limit
+    for ((lo, la, hi, lb) <- exact) {
+      val cover = kernel(lo, la, hi, lb)
+      // complete: every cell of a dense 41x41 sampling is covered
+      for (i <- 0 to 40; j <- 0 to 40) {
+        val lon = lo + (hi - lo) * (i / 40.0)
+        val lat = la + (lb - la) * (j / 40.0)
+        val c = Cells.s2CellId(lon, lat, level)
+        assert(cover.contains(c), s"box ($lo,$la,$hi,$lb): point ($lon,$lat) uncovered")
+      }
+      // exact branch, not the 81-sample lattice: at least as complete, and
+      // tight — every cell's st-rect footprint is bounded by the piece
+      // hulls, so the cover stays within 3x the lattice's cell count
+      // (the lattice UNDER-counts slivers; a lattice output would be ==)
+      assert(cover.size >= lattice(lo, la, hi, lb).size)
+      // loose amplification sanity: the 9x9 lattice undercounts big boxes
+      // (misses sliver rows/columns) so the exact cover can legitimately
+      // reach ~4x its count; a sampling-style blowup would be ~81x
+      assert(cover.size <= 4 * lattice(lo, la, hi, lb).size + 16,
+        s"box ($lo,$la,$hi,$lb): ${cover.size} cells looks like amplification")
+    }
+    // polar-cap straddler: the kernel output IS the lattice (residual arm)
+    val (plo, pla, phi, plb) = (82.0, 78.0, 94.0, 82.0)
+    assert(kernel(plo, pla, phi, plb) == lattice(plo, pla, phi, plb))
+    // and a single-face box still takes the original fast path (unchanged)
+    val (slo, sla, shi, slb) = (-93.0, 44.0, -92.5, 44.4)
+    assert(kernel(slo, sla, shi, slb).nonEmpty)
+  }
+
   test("hex cover: complete (dense sampling) and tight (every cell SAT-intersects)") {
     val res = 5
     val g = Synth.modisGrid
