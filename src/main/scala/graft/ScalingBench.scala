@@ -27,10 +27,11 @@ object ScalingBench {
   def measure(cpus: Int, nDocs: Long, warm: Boolean): Double = {
     val spark = sessionAt(cpus)
     if (warm) DocPipeline.run(spark, math.max(1000L, nDocs / 20), parallelism = cpus * 4)
+    val la = Bench.loadavg()
     val t0 = System.nanoTime()
     val (rows, tiles) = DocPipeline.run(spark, nDocs, parallelism = cpus * 4)
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"level":"local[$cpus]","n_docs":$nDocs,"sec":$sec%.2f,"docs_per_sec":${nDocs / sec}%.0f,"assignments":$rows,"tiles":$tiles}""")
+    println(f"""{"level":"local[$cpus]","n_docs":$nDocs,"sec":$sec%.2f,"docs_per_sec":${nDocs / sec}%.0f,"assignments":$rows,"tiles":$tiles,"loadavg":$la%.1f}""")
     spark.stop()
     sec
   }
