@@ -107,6 +107,14 @@ object DocOps {
   def geomCellCover(docsSpans: DataFrame, grid: GridRef, level: Int): DataFrame = {
     val geomSpan = element_at(filter(col("spans"),
       s => s.getField("text").startsWith("geom:")), 1).getField("text")
+    // NOTE: the filter() HOF here is CodegenFallback and therefore a
+    // whole-stage-codegen BARRIER — replacing it with a codegen'd scan
+    // (round-4 experiment, functions.SpanTextWithPrefix since removed)
+    // fused the md5-heavy interleave head, this lookup and the cover
+    // arithmetic into ONE generated method past hugeMethodLimit, Spark
+    // disabled codegen for the whole stage, and every doc leg regressed
+    // 6-8x. The interpreted lookup costs far less than the split stages
+    // save; keep the barrier.
     // single split instead of four regexp extractions (hot path at 10^12 docs)
     val px = docsSpans.select(col("doc_id"), geomSpan.as("g"))
       .withColumn("nums", split(
