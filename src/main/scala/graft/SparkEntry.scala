@@ -47,6 +47,8 @@ object SparkEntry {
     "q_merge_res" -> (Queries.qMergeRes _),
     "q_reproject_gcps" -> (Queries.qReprojectGcps _),
     "q_reproject_gcps_affine" -> (Queries.qReprojectGcpsAffine _),
+    "q_reproject_gcps_poly2" -> (Queries.qReprojectGcpsPoly2 _),
+    "q_reproject_gcps_poly3" -> (Queries.qReprojectGcpsPoly3 _),
     "q_reproject_rpcs" -> (Queries.qReprojectRpcs _),
     "q_reproject_geoloc" -> (Queries.qReprojectGeoloc _),
     "q_resample_average" -> (Queries.qResampleAverage _),
@@ -157,6 +159,8 @@ object SparkEntry {
       "q_merge_res" -> Oracles.mergeRes,
       "q_reproject_gcps" -> Oracles.reprojectGcps,
       "q_reproject_gcps_affine" -> Oracles.reprojectGcpsAffine,
+      "q_reproject_gcps_poly2" -> Oracles.reprojectGcpsPoly(2),
+      "q_reproject_gcps_poly3" -> Oracles.reprojectGcpsPoly(3),
       "q_reproject_rpcs" -> Oracles.reprojectRpcs,
       "q_reproject_geoloc" -> Oracles.reprojectGeoloc,
       "q_resample_average" -> Oracles.resampleAverage,

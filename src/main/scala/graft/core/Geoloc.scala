@@ -15,6 +15,38 @@ package graft.core
 final case class Gcp(row: Double, col: Double, x: Double, y: Double,
                      z: Double = 0.0, id: String = "", info: String = "")
 
+/** 2-D polynomial transform of order 2 or 3: out = Σ cᵢ·termᵢ(u, v) per
+  * coordinate, monomial order fixed (see [[Poly2D.terms]]) so the scalar,
+  * Column and SQL evaluations stay in arithmetic lockstep. */
+final case class Poly2D(cx: Array[Double], cy: Array[Double], order: Int) {
+  require(cx.length == Poly2D.nTerms(order) && cy.length == cx.length)
+
+  def apply(u: Double, v: Double): (Double, Double) = {
+    val t = Poly2D.terms(u, v, order)
+    var x = 0.0; var y = 0.0; var i = 0
+    while (i < t.length) { x += cx(i) * t(i); y += cy(i) * t(i); i += 1 }
+    (x, y)
+  }
+}
+
+object Poly2D {
+  def nTerms(order: Int): Int = order match {
+    case 2 => 6
+    case 3 => 10
+    case o => throw new IllegalArgumentException(s"poly order 2 or 3, got $o")
+  }
+
+  /** Monomial basis in the FIXED order [1, u, v, u², u·v, v²] (+ order 3:
+    * [u³, u²·v, u·v², v³]); every evaluator (scalar here,
+    * WarpOps.poly2dColumns, WarpOps.poly2dSql) iterates this order with
+    * left-to-right addition for bit-identical sums. */
+  def terms(u: Double, v: Double, order: Int): Array[Double] = {
+    val base = Array(1.0, u, v, u * u, u * v, v * v)
+    if (order == 2) base
+    else base ++ Array(u * u * u, u * u * v, u * v * v, v * v * v)
+  }
+}
+
 /** Plane projective transform image(col,row) → ground(x,y), row-major 3x3
   * with m(8) normalized to 1 after fit. Closed under inversion (adjugate),
   * which is what makes the inverse warp a pure projection. */
@@ -119,6 +151,36 @@ object Geoloc {
     Affine(cx(0), cx(1), cx(2), cy(0), cy(1), cy(2))
   }
 
+  /** General polynomial GCP fit at order 2 or 3 (GDAL GCP polynomial
+    * transformer orders beyond the golden-matched order 1): least-squares
+    * of each output coordinate over the monomial basis
+    *   order 2: [1, u, v, u², u·v, v²]                  (>= 6 GCPs)
+    *   order 3: [+ u³, u²·v, u·v², v³]                  (>= 10 GCPs)
+    * `swap = false` fits image(col,row) → ground(x,y) (the forward
+    * transformer); `swap = true` fits ground → image — GDAL's convention
+    * for the inverse direction is exactly this second fit over the same
+    * GCPs (no per-pixel iteration), which is what makes the order-2/3
+    * warp fully distributable. */
+  def fitPoly(gcps: Seq[Gcp], order: Int, swap: Boolean = false): Poly2D = {
+    val nTerms = Poly2D.nTerms(order)
+    require(gcps.size >= nTerms,
+      s"order-$order polynomial fit needs >= $nTerms GCPs, got ${gcps.size}")
+    val ata = Array.fill(nTerms)(new Array[Double](nTerms))
+    val atx = new Array[Double](nTerms); val aty = new Array[Double](nTerms)
+    gcps.foreach { g =>
+      val (u, v, ox, oy) =
+        if (swap) (g.x, g.y, g.col, g.row) else (g.col, g.row, g.x, g.y)
+      val t = Poly2D.terms(u, v, order)
+      var i = 0
+      while (i < nTerms) {
+        var j = 0
+        while (j < nTerms) { ata(i)(j) += t(i) * t(j); j += 1 }
+        atx(i) += t(i) * ox; aty(i) += t(i) * oy; i += 1
+      }
+    }
+    Poly2D(solve(ata.map(_.clone()), atx.clone()), solve(ata, aty), order)
+  }
+
   /** GDAL 3.11+ method selection: homography for 4-5 GCPs, polynomial
     * (order 1 here) otherwise (reference golden
     * test_integration_rioxarray.py:1185-1194). 3 GCPs = exact affine. */
@@ -138,10 +200,17 @@ object Geoloc {
     * golden (test_integration_rioxarray.py:1194-1233: 1027x923 at
     * 216.8587081056465). */
   def suggestedWarpOutputGcp(srcW: Int, srcH: Int, h: Homography,
-                             gcpCrs: Crs, dstCrs: Crs, nodata: Double): GridRef = {
+                             gcpCrs: Crs, dstCrs: Crs, nodata: Double): GridRef =
+    suggestedWarpOutputGcpFwd(srcW, srcH, (c, r) => h(c, r), gcpCrs, dstCrs, nodata)
+
+  /** [[suggestedWarpOutputGcp]] over ANY image→ground transformer (the
+    * order-2/3 polynomial warps reuse the identical edge-sampling). */
+  def suggestedWarpOutputGcpFwd(srcW: Int, srcH: Int,
+                                transform: (Double, Double) => (Double, Double),
+                                gcpCrs: Crs, dstCrs: Crs, nodata: Double): GridRef = {
     val nSteps = 21
     def fwd(c: Double, r: Double): (Double, Double) = {
-      val (gx, gy) = h(c, r)
+      val (gx, gy) = transform(c, r)
       if (gcpCrs == dstCrs) (gx, gy) else Crs.reprojectPoint(gx, gy, gcpCrs, dstCrs)
     }
     var minx = Double.PositiveInfinity; var miny = Double.PositiveInfinity

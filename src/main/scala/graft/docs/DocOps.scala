@@ -294,7 +294,11 @@ object DocOps {
 
   /** H3-style hex cell cover of each doc geometry bbox (the north_rule's
     * "H3 (res 7-12) ... cell covers for every geometry"): candidate axial
-    * range from the bbox corners' float axial hull (±2 margin), then the
+    * range from the bbox corners' float axial hull (±1 margin — the axial
+    * map is linear in lon/lat so the rect's axial image is exactly the
+    * corner hull, and an intersecting hexagon's centre sits within
+    * circumradius `size` of the rect, i.e. within |grad qf|*size =
+    * (2/3)*size/size = 2/3 < 1 axial unit of the hull), then the
     * EXACT hexagon-vs-rectangle separating-axis test — 5 axes: world x/y
     * plus the hexagon's three edge normals, all per-res literal constants.
     * Map-only explode + codegen filter; each covering cell emitted exactly
@@ -310,10 +314,10 @@ object DocOps {
       ((col("lat_min") + col("lat_max")) / 2.0).as("rcy"),
       ((col("lon_max") - col("lon_min")) / 2.0).as("hw"),
       ((col("lat_max") - col("lat_min")) / 2.0).as("hh"),
-      (floor(least(qrs.map(_._1): _*)) - 2).cast("long").as("q0"),
-      (ceil(greatest(qrs.map(_._1): _*)) + 2).cast("long").as("q1"),
-      (floor(least(qrs.map(_._2): _*)) - 2).cast("long").as("r0"),
-      (ceil(greatest(qrs.map(_._2): _*)) + 2).cast("long").as("r1"))
+      (floor(least(qrs.map(_._1): _*)) - 1).cast("long").as("q0"),
+      (ceil(greatest(qrs.map(_._1): _*)) + 1).cast("long").as("q1"),
+      (floor(least(qrs.map(_._2): _*)) - 1).cast("long").as("r0"),
+      (ceil(greatest(qrs.map(_._2): _*)) + 1).cast("long").as("r1"))
     val cand = ranged
       .select(col("*"), explode(sequence(col("q0"), col("q1"))).as("hq"))
       .select(col("*"), explode(sequence(col("r0"), col("r1"))).as("hr"))
@@ -391,10 +395,10 @@ object DocOps {
        |  SELECT doc_id,
        |    (lon_min + lon_max) / 2.0 AS rcx, (lat_min + lat_max) / 2.0 AS rcy,
        |    (lon_max - lon_min) / 2.0 AS hw, (lat_max - lat_min) / 2.0 AS hh,
-       |    CAST(FLOOR(LEAST(${qfs.mkString(", ")})) - 2 AS BIGINT) AS q0,
-       |    CAST(CEIL(GREATEST(${qfs.mkString(", ")})) + 2 AS BIGINT) AS q1,
-       |    CAST(FLOOR(LEAST(${rfs.mkString(", ")})) - 2 AS BIGINT) AS r0,
-       |    CAST(CEIL(GREATEST(${rfs.mkString(", ")})) + 2 AS BIGINT) AS r1
+       |    CAST(FLOOR(LEAST(${qfs.mkString(", ")})) - 1 AS BIGINT) AS q0,
+       |    CAST(CEIL(GREATEST(${qfs.mkString(", ")})) + 1 AS BIGINT) AS q1,
+       |    CAST(FLOOR(LEAST(${rfs.mkString(", ")})) - 1 AS BIGINT) AS r0,
+       |    CAST(CEIL(GREATEST(${rfs.mkString(", ")})) + 1 AS BIGINT) AS r1
        |  FROM _b),
        |_cq AS (SELECT *, unnest(generate_series(q0, q1)) AS hq FROM _rng),
        |_cr AS (SELECT *, unnest(generate_series(r0, r1)) AS hr FROM _cq),

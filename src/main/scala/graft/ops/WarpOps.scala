@@ -1100,6 +1100,81 @@ object WarpOps {
     })
   }
 
+  /** reproject(dst_crs, gcps=..., order=2|3): the GDAL GCP polynomial
+    * transformer beyond the golden-matched order 1. The destination is
+    * sized through the FORWARD order-n fit (same SuggestedWarpOutput edge
+    * sampling as the homography path); the per-pixel inverse is GDAL's own
+    * convention — a SECOND order-n polynomial fit over the same GCPs with
+    * image and ground swapped — so the warp stays a closed-form
+    * codegen'd Column expression with literal coefficients, no per-pixel
+    * iteration, identical plan shape to the order-1 path. */
+  def reprojectGcpPolyNearest(srcR: Raster, gcps: Seq[Gcp], gcpCrs: Crs,
+                              dstCrs: Crs, order: Int): Raster = {
+    val fwd = Geoloc.fitPoly(gcps, order)
+    val inv = Geoloc.fitPoly(gcps, order, swap = true)
+    val dst = Geoloc.suggestedWarpOutputGcpFwd(srcR.grid.width, srcR.grid.height,
+      (c, r) => fwd(c, r), gcpCrs, dstCrs, srcR.grid.nodata)
+    nearestWarpFromPx(srcR, dst, { (dRow, dCol) =>
+      val dx = lit(dst.transform.a) * (dCol.cast("double") + 0.5d) + lit(dst.transform.c)
+      val dy = lit(dst.transform.e) * (dRow.cast("double") + 0.5d) + lit(dst.transform.f)
+      val (gx, gy) =
+        if (dstCrs == gcpCrs) (dx, dy)
+        else { val (lo, la) = inverseColumns(dstCrs, dx, dy); forwardColumns(gcpCrs, lo, la) }
+      poly2dColumns(inv, gx, gy)
+    })
+  }
+
+  /** Evaluate a Poly2D on Columns — term order and left-to-right addition
+    * exactly as Poly2D.terms / poly2dSql. */
+  def poly2dColumns(p: Poly2D, u: Column, v: Column): (Column, Column) = {
+    val t: Seq[Column] = {
+      val base = Seq(lit(1.0d), u, v, u * u, u * v, v * v)
+      if (p.order == 2) base
+      else base ++ Seq(u * u * u, u * u * v, u * v * v, v * v * v)
+    }
+    (t.zip(p.cx).map { case (ti, ci) => lit(ci) * ti }.reduceLeft(_ + _),
+     t.zip(p.cy).map { case (ti, ci) => lit(ci) * ti }.reduceLeft(_ + _))
+  }
+
+  /** DuckDB text of a Poly2D coordinate (same order/associativity). */
+  def poly2dSql(c: Array[Double], order: Int, uE: String, vE: String): String = {
+    val t = {
+      val base = Seq("CAST(1.0 AS DOUBLE)", uE, vE, s"$uE*$uE", s"$uE*$vE", s"$vE*$vE")
+      if (order == 2) base
+      else base ++ Seq(s"$uE*$uE*$uE", s"$uE*$uE*$vE", s"$uE*$vE*$vE", s"$vE*$vE*$vE")
+    }
+    t.zip(c).map { case (ti, ci) => s"${dlit(ci)}*$ti" }.mkString(" + ")
+  }
+
+  /** DuckDB mirror of [[reprojectGcpPolyNearest]] (dstCrs == gcpCrs):
+    * literal inverse-poly coefficients, same keyed ROUND(,9) guard as the
+    * homography oracle. */
+  def gcpPolyNearestSql(dst: GridRef, inv: Poly2D, srcSql: String): String = {
+    val t = dst.transform
+    val gxE = s"${dlit(t.a)}*(CAST(col AS DOUBLE) + 0.5) + ${dlit(t.c)}"
+    val gyE = s"${dlit(t.e)}*(CAST(row AS DOUBLE) + 0.5) + ${dlit(t.f)}"
+    val pxE = poly2dSql(inv.cx, inv.order, "gx", "gy")
+    val pyE = poly2dSql(inv.cy, inv.order, "gx", "gy")
+    s"""WITH dstpx AS (
+       |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
+       |         CAST(i % ${dst.width} AS BIGINT) AS col
+       |  FROM generate_series(0, ${dst.width.toLong * dst.height - 1}) t(i)),
+       |ground AS (
+       |  SELECT row, col, $gxE AS gx, $gyE AS gy FROM dstpx),
+       |keyed AS (
+       |  SELECT row, col,
+       |    CAST(FLOOR(ROUND($pxE, 9)) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(ROUND($pyE, 9)) AS BIGINT) AS src_row
+       |  FROM ground),
+       |src AS ($srcSql)
+       |SELECT k.row, k.col,
+       |  ${dlit(t.a)}*(CAST(k.col AS DOUBLE) + 0.5) + ${dlit(t.c)} AS x,
+       |  ${dlit(t.e)}*(CAST(k.row AS DOUBLE) + 0.5) + ${dlit(t.f)} AS y,
+       |  COALESCE(s.value, ${dst.nodata.toLong}) AS value
+       |FROM keyed k LEFT JOIN src s ON k.src_row = s.row AND k.src_col = s.col
+       |ORDER BY k.row, k.col""".stripMargin
+  }
+
   /** Apply a homography to planar Columns (same op order as the SQL text). */
   def homographyColumns(h: Homography, x: Column, y: Column): (Column, Column) = {
     val m = h.m

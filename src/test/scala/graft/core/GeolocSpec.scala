@@ -135,4 +135,48 @@ class GeolocSpec extends SparkTestBase {
     val exp = synthValue(math.floor(srow).toLong, math.floor(scol).toLong)
     assert(mid == exp)
   }
+
+  test("order-2/3 GCP polynomial: exact recovery, inverse fit, warp shape") {
+    // order-2 fit over GCPs generated from an exact quadratic recovers it
+    val fwd2 = Geoloc.fitPoly(graft.Queries.gcpPolyFixture, 2)
+    val expX = Array(156113.0, 911.2, -164.65, 0.085, -0.05, 0.02)
+    val expY = Array(2818720.0, -164.65, -836.36, 0.03, 0.04, -0.06)
+    fwd2.cx.zip(expX).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 1e-6 * math.max(1.0, math.abs(e)), s"$g vs $e") }
+    fwd2.cy.zip(expY).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 1e-6 * math.max(1.0, math.abs(e)), s"$g vs $e") }
+    // order-3 fit over a cubic-generated set recovers the cubic exactly
+    def cub(u: Double, v: Double) =
+      (10.0 + 2.0 * u + 3.0 * v + 0.01 * u * u + 0.02 * u * v + 0.03 * v * v
+        + 1e-4 * u * u * u + 2e-4 * u * u * v + 3e-4 * u * v * v + 4e-4 * v * v * v,
+       -5.0 + 1.5 * u - 2.5 * v + 0.04 * u * u - 0.01 * u * v + 0.02 * v * v
+        - 2e-4 * u * u * u + 1e-4 * u * u * v - 3e-4 * u * v * v + 2e-4 * v * v * v)
+    val cubGcps = for (i <- 0 to 3; j <- 0 to 3) yield {
+      val (x, y) = cub(i * 10.0, j * 10.0)
+      Gcp(row = j * 10.0, col = i * 10.0, x = x, y = y)
+    }
+    val fwd3 = Geoloc.fitPoly(cubGcps, 3)
+    for (i <- 0 to 30; j <- 0 to 30) {
+      val (ex, ey) = cub(i.toDouble, j.toDouble)
+      val (gx, gy) = fwd3(i.toDouble, j.toDouble)
+      assert(math.abs(gx - ex) < 1e-6 && math.abs(gy - ey) < 1e-6, s"cubic at ($i,$j)")
+    }
+    // the swapped (inverse) fit composes with the forward to near-identity
+    // over the whole image for the mildly-curved fixture
+    val inv2 = Geoloc.fitPoly(graft.Queries.gcpPolyFixture, 2, swap = true)
+    var worst = 0.0
+    for (c <- 0 to 20; r <- 0 to 20) {
+      val (gx, gy) = fwd2(c * 10.0, r * 10.0)
+      val (bc, br) = inv2(gx, gy)
+      worst = math.max(worst, math.max(math.abs(bc - c * 10.0), math.abs(br - r * 10.0)))
+    }
+    assert(worst < 0.5, s"inverse-fit residual $worst px")
+    // the distributed warp produces the full destination grid
+    val src = graft.ops.Raster(Synth.pixels(spark, Synth.modisGrid), Synth.modisGrid)
+    val out = graft.ops.WarpOps.reprojectGcpPolyNearest(
+      src, graft.Queries.gcpPolyFixture, graft.Queries.gcpCrs,
+      graft.Queries.gcpCrs, order = 2)
+    assert(out.df.count() == out.grid.width.toLong * out.grid.height)
+    assert(out.grid.width > 100 && out.grid.height > 100)
+  }
 }
