@@ -271,6 +271,13 @@ object Queries {
     WarpOps.reprojectCubic(Raster(Synth.pixels(spark, modis), modis), reprojDst)
       .df.orderBy("row", "col")
 
+  /** Resampling.cubic_spline over the same warp frame as cubic — the
+    * exclusion lifted in round 4 (GDAL's cubicspline is the local B-spline
+    * approximation kernel, no global prefilter). */
+  def qReprojectCubicSpline(spark: SparkSession, sfDir: String): DataFrame =
+    WarpOps.reprojectCubicSpline(Raster(Synth.pixels(spark, modis), modis), reprojDst)
+      .df.orderBy("row", "col")
+
   // ---- GCP / RPC warp ----------------------------------------------------
 
   /** GCP fixture: the reference homography scenario
@@ -826,6 +833,8 @@ object Queries {
 
     def reprojectCubic: String =
       WarpOps.cubicSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
+    def reprojectCubicSpline: String =
+      WarpOps.cubicSplineSinuFromLonLatSql(modis, reprojDst, pxSrcSql)
 
     def reprojectRotToSq: String = WarpOps.nearestAffineSql(rotatedGrid, squaredGrid,
       s"SELECT row, col, value FROM (${Synth.pixelsFullSql(rotatedGrid)})")

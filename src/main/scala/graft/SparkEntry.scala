@@ -35,6 +35,7 @@ object SparkEntry {
     "q_reproject_nearest" -> (Queries.qReprojectNearest _),
     "q_reproject_bilinear" -> (Queries.qReprojectBilinear _),
     "q_reproject_cubic" -> (Queries.qReprojectCubic _),
+    "q_reproject_cubic_spline" -> (Queries.qReprojectCubicSpline _),
     "q_reproject_rot2sq" -> (Queries.qReprojectRotToSq _),
     "q_reproject_sq2rot" -> (Queries.qReprojectSqToRot _),
     "q_reproject_match" -> (Queries.qReprojectMatch _),
@@ -146,6 +147,7 @@ object SparkEntry {
       "q_reproject_nearest" -> Oracles.reprojectNearest,
       "q_reproject_bilinear" -> Oracles.reprojectBilinear,
       "q_reproject_cubic" -> Oracles.reprojectCubic,
+      "q_reproject_cubic_spline" -> Oracles.reprojectCubicSpline,
       "q_reproject_rot2sq" -> Oracles.reprojectRotToSq,
       "q_reproject_sq2rot" -> Oracles.reprojectSqToRot,
       "q_reproject_match" -> Oracles.reprojectMatch,

@@ -495,12 +495,53 @@ object WarpOps {
     case 2  => s"((($CubicA * (2.0 - ($tE)) - ${5.0 * CubicA}) * (2.0 - ($tE)) + ${8.0 * CubicA}) * (2.0 - ($tE)) - ${4.0 * CubicA})"
   }
 
+  /** B-spline smoothing weights of GDAL's Resampling.cubic_spline
+    * (gdalwarpkernel BSpline basis — a LOCAL 4x4 approximation kernel, not
+    * an interpolating spline, so there is no global IIR prefilter): with
+    * t in [0,1) the tap distances are (t+1, t, 1-t, 2-t) and
+    *   B(x) = (4 - 6x² + 3x³)/6   for x < 1
+    *   B(x) = (2-x)³/6            for 1 <= x < 2
+    * which collapses per tap to the forms below. Column / scalar / SQL in
+    * lockstep (same literals, same associativity). Partition of unity:
+    * the four weights sum to exactly 1 for every t. */
+  private def cubicSplineW(t: Column, off: Int): Column = off match {
+    case -1 => ((lit(1.0d) - t) * (lit(1.0d) - t) * (lit(1.0d) - t)) / 6.0d
+    case 0  => (lit(4.0d) - lit(6.0d) * t * t + lit(3.0d) * t * t * t) / 6.0d
+    case 1  => (lit(4.0d) - lit(6.0d) * (lit(1.0d) - t) * (lit(1.0d) - t) +
+                lit(3.0d) * (lit(1.0d) - t) * (lit(1.0d) - t) * (lit(1.0d) - t)) / 6.0d
+    case 2  => (t * t * t) / 6.0d
+  }
+  def cubicSplineWeightScalar(t: Double, off: Int): Double = off match {
+    case -1 => ((1.0 - t) * (1.0 - t) * (1.0 - t)) / 6.0
+    case 0  => (4.0 - 6.0 * t * t + 3.0 * t * t * t) / 6.0
+    case 1  => (4.0 - 6.0 * (1.0 - t) * (1.0 - t) +
+                3.0 * (1.0 - t) * (1.0 - t) * (1.0 - t)) / 6.0
+    case 2  => (t * t * t) / 6.0
+  }
+  private def cubicSplineWSql(tE: String, off: Int): String = off match {
+    case -1 => s"(((1.0 - ($tE)) * (1.0 - ($tE)) * (1.0 - ($tE))) / 6.0)"
+    case 0  => s"((4.0 - 6.0 * ($tE) * ($tE) + 3.0 * ($tE) * ($tE) * ($tE)) / 6.0)"
+    case 1  => s"((4.0 - 6.0 * (1.0 - ($tE)) * (1.0 - ($tE)) + 3.0 * (1.0 - ($tE)) * (1.0 - ($tE)) * (1.0 - ($tE))) / 6.0)"
+    case 2  => s"((($tE) * ($tE) * ($tE)) / 6.0)"
+  }
+
   /** Cubic inverse warp: 4x4 neighbourhood, Keys convolution (the
     * reference's Resampling.cubic, _spatial_utils.py:307-323 ->
     * rasterio.warp). Same shape as bilinear: 16-way key explode + one pivot
     * aggregate; any missing/nodata neighbour -> nodata (edge rows where
     * GDAL would clamp are nodata here — mirrored by the oracle). */
-  def reprojectCubic(srcR: Raster, dst: GridRef): Raster = {
+  def reprojectCubic(srcR: Raster, dst: GridRef): Raster =
+    reprojectKernel4(srcR, dst, cubicW)
+
+  /** Resampling.cubic_spline — same 4x4 gather, B-spline smoothing weights
+    * (previously excluded on the mistaken premise that GDAL's cubicspline
+    * needs a global spline prefilter; it is the local B-spline
+    * approximation kernel above, fully separable and distributable). */
+  def reprojectCubicSpline(srcR: Raster, dst: GridRef): Raster =
+    reprojectKernel4(srcR, dst, cubicSplineW)
+
+  private def reprojectKernel4(srcR: Raster, dst: GridRef,
+                               w: (Column, Int) => Column): Raster = {
     val spark = srcR.df.sparkSession
     val src = srcR.grid
     val dstPx = spark.range(dst.width.toLong * dst.height)
@@ -530,8 +571,8 @@ object WarpOps {
       col(s"v${dr + 1}${dc + 1}").isNull || col(s"v${dr + 1}${dc + 1}") === nodata.toLong
     }.reduce(_ || _)
     val interp = (-1 to 2).map { dr =>
-      cubicW(col("ty"), dr) * (-1 to 2).map { dc =>
-        cubicW(col("tx"), dc) * col(s"v${dr + 1}${dc + 1}")
+      w(col("ty"), dr) * (-1 to 2).map { dc =>
+        w(col("tx"), dc) * col(s"v${dr + 1}${dc + 1}")
       }.reduce(_ + _)
     }.reduce(_ + _)
     val out = gathered.select(col("row"), col("col"),
@@ -543,7 +584,15 @@ object WarpOps {
 
   /** SQL oracle for reprojectCubic, sinu src -> longlat dst (16 left joins,
     * weight arithmetic textually mirrored from [[cubicW]]). */
-  def cubicSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
+  def cubicSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String =
+    kernel4SinuFromLonLatSql(src, dst, srcSql, cubicWSql)
+
+  /** SQL oracle for reprojectCubicSpline (B-spline weights, same frame). */
+  def cubicSplineSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String =
+    kernel4SinuFromLonLatSql(src, dst, srcSql, cubicSplineWSql)
+
+  private def kernel4SinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String,
+                                       wSql: (String, Int) => String): String = {
     val (r, lon0) = src.crs.proj match {
       case Sinusoidal(rr, l0) => (rr, l0)
       case p => throw new IllegalArgumentException(s"oracle needs sinusoidal src, got $p")
@@ -567,9 +616,9 @@ object WarpOps {
     }.mkString("\n         OR ")
     val interp = (-1 to 2).map { dr =>
       val rowTerm = (-1 to 2).map { dc =>
-        s"${cubicWSql("k.tx", dc)} * s${dr + 1}${dc + 1}.value"
+        s"${wSql("k.tx", dc)} * s${dr + 1}${dc + 1}.value"
       }.mkString(" + ")
-      s"${cubicWSql("k.ty", dr)} * ($rowTerm)"
+      s"${wSql("k.ty", dr)} * ($rowTerm)"
     }.mkString("\n            + ")
     s"""WITH dstpx AS (
        |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
