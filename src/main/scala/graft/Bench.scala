@@ -112,6 +112,13 @@ object Bench {
       ("raster", () => (), () => rasterRun()),
       ("tiles", () => tilesSetup(), () => tilesRun()))
 
+    // fail fast on a misspelled leg name: a silent empty selection would
+    // record 0.00s "attribution evidence" for legs that never ran
+    flagshipSel.foreach { sel =>
+      val known = legs.map(_._1).toSet
+      require(sel.subsetOf(known),
+        s"unknown flagship leg(s) ${sel.diff(known).mkString(",")}; known: ${known.mkString(",")}")
+    }
     val runFlagships = flagshipSel.isDefined || !attributionMode
     val selectedLegs = legs.filter { case (n, _, _) => flagshipSel.forall(_.contains(n)) }
     val flagSec = scala.collection.mutable.Map.empty[String, Double]

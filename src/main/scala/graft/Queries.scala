@@ -299,18 +299,21 @@ object Queries {
     Gcp(row = 100, col = 100, x = 226900.0, y = 2718500.0),
     Gcp(row = 50, col = 150, x = 283000.0, y = 2760000.0))
 
-  /** 12-GCP fixture for the order-2/3 polynomial transformer: ground
+  /** 16-GCP fixture for the order-2/3 polynomial transformer: ground
     * coordinates generated by an exact quadratic field over (col,row) with
-    * mild curvature (quadratic terms ~2% of the linear span), so the
-    * order-2 forward fit recovers the field and both inverse fits are
-    * well-conditioned over the 200x200 image. */
+    * mild curvature (quadratic terms ~2% of the linear span). A 4x4 grid —
+    * FOUR distinct values per axis — keeps the order-3 design full-rank
+    * (three distinct cols made u³ a linear combination of u²/u on the
+    * sample set and the order-3 normal equations exactly singular; caught
+    * in round-4 self-review), so both forward fits recover the field and
+    * both inverse fits are well-conditioned over the 200x200 image. */
   val gcpPolyFixture: Seq[Gcp] = {
     def gx(c: Double, r: Double) =
       156113.0 + 911.2 * c - 164.65 * r + 0.085 * c * c - 0.05 * c * r + 0.02 * r * r
     def gy(c: Double, r: Double) =
       2818720.0 - 164.65 * c - 836.36 * r + 0.03 * c * c + 0.04 * c * r - 0.06 * r * r
-    for (ri <- 0 to 3; ci <- 0 to 2) yield {
-      val c = ci * 100.0; val r = ri * 66.0
+    for (ri <- 0 to 3; ci <- 0 to 3) yield {
+      val c = ci * 66.0; val r = ri * 66.0
       Gcp(row = r, col = c, x = gx(c, r), y = gy(c, r))
     }
   }

@@ -496,11 +496,16 @@ object Conventions {
             (((mant >>> 12) & 1) & (if ((mant & 0xfff) != 0 || ((mant >>> 13) & 1) != 0) 1 else 0))
           sign | rounded
         } else if (absBits >= 0x33000000) { // subnormal half
+          // shift = 126 - floatExp maps float exponent -14 (the largest
+          // subnormal-producing range, 0x38...) to a 14-bit right shift of
+          // the 24-bit significand -> 10 result bits. The first cut of this
+          // arm shifted by (shift+1) and halved every subnormal (round-4
+          // self-review, verified against the IEEE binary16 values).
           val shift = 126 - (absBits >>> 23)
           val mant = (absBits & 0x7fffff) | 0x800000
-          val m = mant >>> (shift + 1)
-          val rem = mant & ((1 << (shift + 1)) - 1)
-          val half = 1 << shift
+          val m = mant >>> shift
+          val rem = mant & ((1 << shift) - 1)
+          val half = 1 << (shift - 1)
           sign | (m + (if (rem > half || (rem == half && (m & 1) != 0)) 1 else 0))
         } else sign // underflow -> signed zero
       // half -> float

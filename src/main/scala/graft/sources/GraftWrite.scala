@@ -82,9 +82,14 @@ object GraftWrite {
       v
     }
     val attrs = Option(get("attrs")).map(graft.core.Json.toMap).getOrElse(Map.empty)
-    val dtype = Option(get("dtype")).getOrElse("float64")
-    val nodata = Option(get("nodata")).map(_.toDouble)
-      .getOrElse(graft.ops.Conventions.DtypeNodata.default(dtype))
+    val dtypeOpt = Option(get("dtype"))
+    val nodataOpt = Option(get("nodata")).map(_.toDouble)
+    // fail fast when BOTH are missing: dtype-defaulting exists so a typed
+    // store can omit nodata, not so a plain write silently gets NaN
+    require(nodataOpt.isDefined || dtypeOpt.isDefined,
+      "graft write requires option 'nodata' (or 'dtype', whose default nodata then applies)")
+    val dtype = dtypeOpt.getOrElse("float64")
+    val nodata = nodataOpt.getOrElse(graft.ops.Conventions.DtypeNodata.default(dtype))
     val checked = graft.ops.Conventions.DtypeNodata.ensureNodataDtype(nodata, dtype)
     (GridRef(Crs.parse(req("crs")), Affine.fromGdal(req("transform")),
        req("width").toInt, req("height").toInt, checked, attrs, dtype),

@@ -127,7 +127,14 @@ object StoreLayout {
         case _ if n.startsWith("_staging-") => false
         case GenName(g) if s.isDirectory =>
           if (markedGens.contains(g.toLong)) g.toLong < ownGen && g.toLong != keepPrev
-          else s.getModificationTime < cutoff && g.toLong != ownGen
+          else
+            // aged-unmarked sweep applies only BELOW our generation: an
+            // unmarked dir above it may be a live writer merely stalled
+            // past the grace (promote -> long pause -> marker create would
+            // otherwise commit a generation whose directory we deleted).
+            // The "never touch g >= ownGen" invariant is absolute; a
+            // crashed high-numbered orphan stays as invisible garbage.
+            s.getModificationTime < cutoff && g.toLong < ownGen
         case MarkerName(g) => g.toLong < ownGen && g.toLong != keepPrev
         case _ =>
           // legacy root-level store: swept once a marked predecessor exists

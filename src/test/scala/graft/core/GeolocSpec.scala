@@ -161,6 +161,18 @@ class GeolocSpec extends SparkTestBase {
       val (gx, gy) = fwd3(i.toDouble, j.toDouble)
       assert(math.abs(gx - ex) < 1e-6 && math.abs(gy - ey) < 1e-6, s"cubic at ($i,$j)")
     }
+    // the order-3 fit over the (quadratic-generated) fixture is now
+    // FULL-RANK — a 4x4 grid gives four distinct values per axis — and
+    // reproduces the quadratic field (cubic coefficients collapse to ~0);
+    // the original 3-column fixture made u³ linearly dependent on u²/u over
+    // the sample set and the order-3 normal equations exactly singular
+    val fwd3fx = Geoloc.fitPoly(graft.Queries.gcpPolyFixture, 3)
+    for (c <- 0 to 20; r <- 0 to 20) {
+      val (ex, ey) = fwd2(c * 10.0, r * 10.0)
+      val (gx3, gy3) = fwd3fx(c * 10.0, r * 10.0)
+      assert(math.abs(gx3 - ex) < 1e-4 && math.abs(gy3 - ey) < 1e-4,
+        s"order-3 fixture fit at ($c,$r)")
+    }
     // the swapped (inverse) fit composes with the forward to near-identity
     // over the whole image for the mildly-curved fixture
     val inv2 = Geoloc.fitPoly(graft.Queries.gcpPolyFixture, 2, swap = true)

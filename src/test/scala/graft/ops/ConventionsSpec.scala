@@ -309,6 +309,13 @@ class ConventionsSpec extends SparkTestBase {
     assert(ensureNodataDtype(-65504.0, "float16") == -65504.0) // half max
     intercept[IllegalArgumentException] { ensureNodataDtype(65505.0, "float16") }
     intercept[IllegalArgumentException] { ensureNodataDtype(1.0001, "float16") }
+    // float16 SUBNORMALS round-trip exactly (the first halfRoundTrip cut
+    // halved every subnormal — round-4 self-review)
+    assert(ensureNodataDtype(3.0517578125e-5, "float16") == 3.0517578125e-5) // 2^-15
+    assert(ensureNodataDtype(5.960464477539063e-8, "float16")
+      == 5.960464477539063e-8) // 2^-24, smallest subnormal
+    intercept[IllegalArgumentException] {
+      ensureNodataDtype(2.9802322387695312e-8, "float16") } // 2^-25: ties to 0
     // complex dtypes pass real-valued nodata through untouched
     assert(ensureNodataDtype(-1.0, "cint16") == -1.0)
     assert(ensureNodataDtype(Double.NaN, "cfloat32").isNaN)
@@ -348,5 +355,14 @@ class ConventionsSpec extends SparkTestBase {
     w(None, "uint16") // nodata defaults to 65535 from the dtype table
     val (g4, _) = TileIO.readGrid(spark, dir2)
     assert(g4.dtype == "uint16" && g4.nodata == 65535.0)
+    // omitting BOTH nodata and dtype stays a fail-fast build error (the
+    // dtype default exists for typed stores, not for silent NaN nodata)
+    val none = intercept[Exception] {
+      vals.write.format("graft").mode("overwrite")
+        .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+        .option("width", "200").option("height", "200")
+        .option("tile_size", "50").save(dir2)
+    }
+    assert(none.getMessage.contains("nodata"), s"got: ${none.getMessage}")
   }
 }

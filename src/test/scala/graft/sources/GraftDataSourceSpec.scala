@@ -248,7 +248,11 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(names.contains(s"${StoreLayout.GenPrefix}99.deadbeef"),
       "fresh unmarked generation (possible live writer) must survive the sweep")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
-    // ... and once it ages past the grace period it is crash garbage: swept
+    // ... and even AGED it survives while its generation number is above
+    // every committer's: by number alone it could be a live writer stalled
+    // past the grace between promote and marker-create, and deleting it
+    // would lose that writer's commit (round-4 self-review) — the
+    // "never touch g >= ownGen" invariant is absolute
     val old = System.currentTimeMillis() - StoreLayout.UnmarkedGraceMs - 60000
     fs.setTimes(orphan, old, old)
     px.write.format("graft").mode("overwrite")
@@ -257,21 +261,35 @@ class GraftDataSourceSpec extends SparkTestBase {
       .option("nodata", "-28672.0").option("tile_size", "50")
       .save(dir)
     val names3 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
-    assert(!names3.contains(s"${StoreLayout.GenPrefix}99.deadbeef"),
-      "aged unmarked orphan must be swept")
+    assert(names3.contains(s"${StoreLayout.GenPrefix}99.deadbeef"),
+      "aged unmarked orphan ABOVE the live generation stays (possible live writer)")
+    assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
+    // an aged unmarked orphan BELOW the live generation is crash garbage:
+    // the next commit sweeps it
+    val lowOrphan = new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.GenPrefix}1.ghost")
+    fs.mkdirs(lowOrphan)
+    fs.setTimes(lowOrphan, old, old)
+    px.write.format("graft").mode("overwrite")
+      .option("crs", g.crs.key).option("transform", g.transform.toGdal)
+      .option("width", "200").option("height", "200")
+      .option("nodata", "-28672.0").option("tile_size", "50")
+      .save(dir)
+    val names4 = fs.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath.getName)
+    assert(!names4.contains(s"${StoreLayout.GenPrefix}1.ghost"),
+      "aged unmarked orphan below the live generation must be swept")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
 
-    // concurrent-claim race: gen 4 is unclaimable (a path squatting on the
+    // concurrent-claim race: gen 5 is unclaimable (a path squatting on the
     // marker name that liveGeneration cannot read as a marker) — the commit
     // must re-promote under the next number instead of failing or tearing
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.MarkerPrefix}4"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, s"${StoreLayout.MarkerPrefix}5"))
     px.write.format("graft").mode("overwrite")
       .option("crs", g.crs.key).option("transform", g.transform.toGdal)
       .option("width", "200").option("height", "200")
       .option("nodata", "-28672.0").option("tile_size", "50")
       .save(dir)
     assert(StoreLayout.liveGeneration(fs, new org.apache.hadoop.fs.Path(dir))
-      .exists(_._1 >= 5L), "claim race must advance past the squatted generation")
+      .exists(_._1 >= 6L), "claim race must advance past the squatted generation")
     assert(spark.read.format("graft").load(dir).collect().map(_.toSeq).toSet == before)
   }
 
@@ -293,9 +311,11 @@ class GraftDataSourceSpec extends SparkTestBase {
     mkGen(1, "a", marked = true); mkGen(2, "b", marked = true)
     mkGen(3, "own", marked = true)
     mkGen(4, "c", marked = true); mkGen(5, "d", marked = false)
+    mkGen(6, "e", marked = false)
     mkGen(0, "z", marked = false)
     val aged = System.currentTimeMillis() - StoreLayout.UnmarkedGraceMs - 60000
     fs.setTimes(new org.apache.hadoop.fs.Path(root, s"${StoreLayout.GenPrefix}0.z"), aged, aged)
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, s"${StoreLayout.GenPrefix}6.e"), aged, aged)
     fs.create(new org.apache.hadoop.fs.Path(root, "legacy.parquet"), true).close()
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_grid"))
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, "_staging-x"))
@@ -311,6 +331,8 @@ class GraftDataSourceSpec extends SparkTestBase {
       s"a NEWER committed generation must never be deleted: $left")
     assert(left.contains("_gen-5.d"),
       s"a newer fresh unmarked generation (live writer) must never be deleted: $left")
+    assert(left.contains("_gen-6.e"),
+      s"a newer AGED unmarked generation (stalled live writer) must never be deleted: $left")
     assert(!left.contains("_gen-0.z"), s"aged unmarked orphan must be swept: $left")
     assert(!left.contains("legacy.parquet") && !left.contains("_grid"),
       s"legacy root store with a marked predecessor must be swept: $left")
