@@ -590,6 +590,13 @@ object Queries {
   def qDedupExact(spark: SparkSession, sfDir: String): DataFrame =
     graft.dedup.DedupOps.exactGroups(dedupCorpus(spark, sfDir)).orderBy("fp")
 
+  /** Exact-substring (windowed verbatim) dedup over the planted-duplicate
+    * corpus: the suffix-appended near-dupes share every pre-suffix window
+    * with their originals — caught here, invisible to whole-text dedup. */
+  def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.substringDupWindows(dedupCorpus(spark, sfDir))
+      .orderBy("wh")
+
   /** Slice for the all-pairs ops: the synthetic word-salad corpus is
     * pathologically self-similar (most doc pairs share most trigrams), so
     * exact all-pairs Jaccard is inherently quadratic in matching pairs — the
@@ -1054,6 +1061,8 @@ object Queries {
     def fingerprint: String =
       s"SELECT doc_id, ${graft.text.TextOps.fingerprintSql("text")} AS fp FROM documents ORDER BY doc_id"
     def dedupExact: String = graft.dedup.DedupOps.exactGroupsSql(dedupCorpusSql)
+    def dedupSubstring: String =
+      graft.dedup.DedupOps.substringDupWindowsSql(dedupCorpusSql)
     def dedupJaccard: String = graft.dedup.DedupOps.jaccardPairsSql(corpusSliceSql, 0.5)
     def dedupMinhashLsh: String = graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5)
     def dedupSimhash: String = graft.dedup.DedupOps.simhashPairsSql(dedupCorpusSql, 3)

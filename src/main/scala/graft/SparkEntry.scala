@@ -83,6 +83,7 @@ object SparkEntry {
     "q_token_count" -> (Queries.qTokenCount _),
     "q_fingerprint" -> (Queries.qFingerprint _),
     "q_dedup_exact" -> (Queries.qDedupExact _),
+    "q_dedup_substring" -> (Queries.qDedupSubstring _),
     "q_dedup_jaccard" -> (Queries.qDedupJaccard _),
     "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
@@ -197,6 +198,7 @@ object SparkEntry {
       "q_token_count" -> Oracles.tokenCount,
       "q_fingerprint" -> Oracles.fingerprint,
       "q_dedup_exact" -> Oracles.dedupExact,
+      "q_dedup_substring" -> Oracles.dedupSubstring,
       "q_dedup_jaccard" -> Oracles.dedupJaccard,
       "q_dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
       "q_dedup_simhash" -> Oracles.dedupSimhash,

@@ -263,4 +263,53 @@ object DedupOps {
        |FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= $maxDist
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+  // ---- exact-substring duplication (windowed verbatim overlap) -----------
+
+  /** Exact-substring duplicate detection — the training-data dedup class
+    * popularized by "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2022, arXiv:2107.06499): every length-`window`
+    * character window at `stride` spacing is hashed, and a window hash
+    * held by more than one document marks a VERBATIM shared substring —
+    * the guarantee sketch methods (MinHash/SimHash) deliberately trade
+    * away. Finds e.g. a shared prefix between a document and its
+    * suffix-appended near-duplicate that exact whole-text dedup misses.
+    *
+    * Scale shape: windows-per-doc is len/stride (bounded fan-out, no
+    * pairs), the groupBy on the window hash is map-side combinable, and
+    * shuffle rows are DISTINCT window hashes — at 100 TB this is the same
+    * partial-agg profile as exact dedup, never candidate-quadratic.
+    * Output: one row per duplicated window hash with its document spread.
+    * Hash = first 8 md5 hex digits as a BIGINT (the engine's established
+    * cross-engine hash identity). */
+  def substringDupWindows(docs: DataFrame, window: Int = 64,
+                          stride: Int = 16): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          greatest(lit(0), length(col("text")) - window), lit(stride))).as("off"),
+        col("text"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("text").substr(col("off") + 1, lit(window))
+          .cast("binary")), 1, 8), 16, 10).cast("long").as("wh"))
+      .groupBy("wh")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_windows"),
+           min("doc_id").as("first_doc"))
+      .filter(col("n_docs") > 1)
+
+  /** DuckDB mirror of [[substringDupWindows]]. The offset series is a
+    * CONSTANT 0..4096 progression filtered per row (this DuckDB build has
+    * no lateral generate_series); 4096 comfortably exceeds the corpus's
+    * text lengths (~600 chars at every SF), so the filtered set equals the
+    * Spark side's per-row sequence exactly. */
+  def substringDupWindowsSql(table: String, window: Int = 64,
+                             stride: Int = 16): String =
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(substr(text, o.o + 1, $window)), 1, 8))::BIGINT AS wh
+       |  FROM $table t, generate_series(0, 4096, $stride) o(o)
+       |  WHERE o.o <= GREATEST(0, length(t.text) - $window))
+       |SELECT wh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_windows,
+       |  MIN(doc_id) AS first_doc
+       |FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+       |ORDER BY wh""".stripMargin
 }

@@ -36,6 +36,26 @@ class TextDedupAnnSpec extends SparkTestBase {
     assert(dupGroups.forall(_.getLong(1) < 10000L))
   }
 
+  test("substring dedup: suffix-appended near-dupes share their pre-suffix windows") {
+    val dup = DedupOps.substringDupWindows(corpus).collect()
+    assert(dup.nonEmpty)
+    // every duplicated window hash spans >1 doc by construction of the op
+    assert(dup.forall(_.getLong(1) > 1L))
+    // a near-dupe (+10000, text || suffix) shares every aligned pre-suffix
+    // window with its original, which whole-text exact dedup cannot see:
+    // pick one original/near-dupe pair long enough to hold a full window
+    // and recompute one window hash both ways
+    import org.apache.spark.sql.functions.{conv, md5, substring => fsub, length => flen}
+    val pair = corpus.filter(col("doc_id") % 5 === 0 && col("doc_id") < 10000)
+      .filter(flen(col("text")) >= 64).limit(1)
+      .select(col("doc_id"), conv(fsub(md5(col("text").substr(lit(1), lit(64))
+        .cast("binary")), 1, 8), 16, 10).cast("long").as("wh"))
+      .collect()(0)
+    val hashes = dup.map(_.getLong(0)).toSet
+    assert(hashes.contains(pair.getLong(1)),
+      s"first window of doc ${pair.getLong(0)} (shared with its +10000 near-dupe) not flagged")
+  }
+
   test("jaccard near-dup pairs include the synthesized near-copies") {
     val pairs = DedupOps.jaccardPairs(corpus, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
