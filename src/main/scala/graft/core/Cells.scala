@@ -298,6 +298,9 @@ object Cells {
                    level: Int, out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{cos => fcos, sin => fsin, abs => fabs, when, col}
     val keep = df.columns.toSeq
+    val staging = Set("_sx", "_sy", "_sz", "_f", "_u", "_v", "_si", "_ti", out)
+    require(!keep.exists(staging.contains),
+      s"withS2CellId staging/output column collision: ${keep.filter(staging.contains).mkString(",")}")
     def cols(names: Seq[String]): Seq[Column] = names.map(col)
     val lonR = lon * Projection.D2R; val latR = lat * Projection.D2R
     val s1 = df.select(cols(keep) ++ Seq(

@@ -178,7 +178,7 @@ object Geoloc {
         atx(i) += t(i) * ox; aty(i) += t(i) * oy; i += 1
       }
     }
-    Poly2D(solve(ata.map(_.clone()), atx.clone()), solve(ata, aty), order)
+    Poly2D(solve(ata, atx), solve(ata, aty), order) // solve copies internally
   }
 
   /** GDAL 3.11+ method selection: homography for 4-5 GCPs, polynomial

@@ -150,6 +150,10 @@ object Hex {
                  resN: Int, out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.col
     val keep = df.columns.toSeq
+    val staging = Set("_qf", "_rf", "_yf", "_rx", "_ry", "_rz",
+      "_dx", "_dy", "_dz", "_qq", "_rr", out)
+    require(!keep.exists(staging.contains),
+      s"withCellId staging/output column collision: ${keep.filter(staging.contains).mkString(",")}")
     def cols(ns: Seq[String]): Seq[Column] = ns.map(col)
     val co = lit(cosT(resN)); val si = lit(sinT(resN))
     val x = co * lon + si * lat

@@ -281,12 +281,20 @@ object DedupOps {
     * Output: one row per duplicated window hash with its document spread.
     * Hash = first 8 md5 hex digits as a BIGINT (the engine's established
     * cross-engine hash identity). */
+  /** Both engines scan window offsets up to this cap (a multiple of every
+    * sensible stride), so a document longer than MaxWindowOff + window is
+    * TRUNCATED identically on the Spark and DuckDB sides — without the
+    * shared clamp the oracle's constant offset series would silently
+    * disagree with Spark's per-row sequence on long documents. */
+  val MaxWindowOff = 16368
+
   def substringDupWindows(docs: DataFrame, window: Int = 64,
                           stride: Int = 16): DataFrame =
     docs
       .select(col("doc_id"),
         explode(sequence(lit(0),
-          greatest(lit(0), length(col("text")) - window), lit(stride))).as("off"),
+          least(lit(MaxWindowOff),
+            greatest(lit(0), length(col("text")) - window)), lit(stride))).as("off"),
         col("text"))
       .select(col("doc_id"),
         conv(substring(md5(col("text").substr(col("off") + 1, lit(window))
@@ -297,17 +305,17 @@ object DedupOps {
       .filter(col("n_docs") > 1)
 
   /** DuckDB mirror of [[substringDupWindows]]. The offset series is a
-    * CONSTANT 0..4096 progression filtered per row (this DuckDB build has
-    * no lateral generate_series); 4096 comfortably exceeds the corpus's
-    * text lengths (~600 chars at every SF), so the filtered set equals the
-    * Spark side's per-row sequence exactly. */
+    * CONSTANT 0..MaxWindowOff progression filtered per row (this DuckDB
+    * build has no lateral generate_series); the Spark side clamps its
+    * per-row sequence to the same cap, so the two offset sets are equal
+    * BY CONSTRUCTION for any text length. */
   def substringDupWindowsSql(table: String, window: Int = 64,
                              stride: Int = 16): String =
     s"""WITH w AS (
        |  SELECT doc_id,
        |    ('0x' || substr(md5(substr(text, o.o + 1, $window)), 1, 8))::BIGINT AS wh
-       |  FROM $table t, generate_series(0, 4096, $stride) o(o)
-       |  WHERE o.o <= GREATEST(0, length(t.text) - $window))
+       |  FROM $table t, generate_series(0, $MaxWindowOff, $stride) o(o)
+       |  WHERE o.o <= LEAST($MaxWindowOff, GREATEST(0, length(t.text) - $window)))
        |SELECT wh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_windows,
        |  MIN(doc_id) AS first_doc
        |FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1

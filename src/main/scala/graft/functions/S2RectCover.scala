@@ -147,7 +147,16 @@ object S2RectCover {
       val k0 = math.floor(lonMin / 45.0).toLong
       val k1 = math.floor(lonMax / 45.0).toLong
       var exact = k1 - k0 <= 8 && lonMin >= -180.0 && lonMax <= 180.0
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      // primitive accumulation (cross-piece dupes removed by one sort+dedup
+      // at the end): a boxed LinkedHashSet here would re-create, for every
+      // straddling row, the allocation pressure the corner path's faceUv
+      // rewrite removed
+      var buf = new Array[Long](64)
+      var bn = 0
+      def push(v: Long): Unit = {
+        if (bn == buf.length) buf = java.util.Arrays.copyOf(buf, bn * 2)
+        buf(bn) = v; bn += 1
+      }
       var k = k0
       while (exact && k <= k1) {
         val a = math.max(lonMin, k * 45.0)
@@ -188,7 +197,7 @@ object S2RectCover {
             while (si <= s1) {
               var ti = t0
               while (ti <= t1) {
-                seen.add((((f << (2 * level)) | Cells.morton(si, ti)) << 5) | level.toLong)
+                push((((f << (2 * level)) | Cells.morton(si, ti)) << 5) | level.toLong)
                 ti += 1
               }
               si += 1
@@ -197,9 +206,9 @@ object S2RectCover {
         }
         k += 1
       }
-      if (!exact || seen.isEmpty) {
+      if (!exact || bn == 0) {
         // total fallback: the distinct sample lattice
-        seen.clear()
+        bn = 0
         val kk = (samples - 1).toDouble
         var i = 0
         while (i < samples) {
@@ -207,17 +216,21 @@ object S2RectCover {
           while (j < samples) {
             val lon = lonMin + (lonMax - lonMin) * (i / kk)
             val lat = latMin + (latMax - latMin) * (j / kk)
-            seen.add(Cells.s2CellId(lon, lat, level))
+            push(Cells.s2CellId(lon, lat, level))
             j += 1
           }
           i += 1
         }
       }
-      val out = new Array[Long](seen.size())
-      val it = seen.iterator()
-      var n = 0
-      while (it.hasNext) { out(n) = it.next(); n += 1 }
-      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+      java.util.Arrays.sort(buf, 0, bn)
+      var w = 0
+      var r = 0
+      while (r < bn) {
+        if (w == 0 || buf(r) != buf(w - 1)) { buf(w) = buf(r); w += 1 }
+        r += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+        java.util.Arrays.copyOf(buf, w))
     }
   }
 

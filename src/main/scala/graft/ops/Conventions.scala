@@ -384,9 +384,11 @@ object Conventions {
       "seconds" -> 1.0, "milliseconds" -> 1e-3, "microseconds" -> 1e-6,
       "nanoseconds" -> 1e-9)
 
-    /** The timedelta decode gate (a units string WITHOUT "since"). */
+    /** The timedelta decode gate — EXACT membership like the reference's
+      * `units in times.TIME_UNITS` (_io.py:723-724): "Days" or " seconds "
+      * do NOT qualify, mirroring xarray's case/whitespace-sensitive test. */
     def isCfTimedelta(units: String): Boolean =
-      units != null && TimedeltaSeconds.contains(units.trim.toLowerCase)
+      units != null && TimedeltaSeconds.contains(units)
 
     /** Decode a numeric CF timedelta coordinate ("seconds"/"days"/... with
       * no epoch) to a DayTimeIntervalType Column — the engine analog of
@@ -394,7 +396,7 @@ object Conventions {
       * microsecond interval precision. */
     def decodeTimedeltaColumn(td: org.apache.spark.sql.Column,
                               units: String): org.apache.spark.sql.Column = {
-      val mult = TimedeltaSeconds.getOrElse(units.trim.toLowerCase,
+      val mult = TimedeltaSeconds.getOrElse(units,
         throw new IllegalArgumentException(s"unsupported CF timedelta unit '$units'"))
       val z = org.apache.spark.sql.functions.lit(0)
       org.apache.spark.sql.functions.make_dt_interval(
@@ -406,11 +408,15 @@ object Conventions {
       * ANSI day-time interval has no direct numeric cast). */
     def encodeTimedeltaColumn(iv: org.apache.spark.sql.Column,
                               units: String): org.apache.spark.sql.Column = {
-      val mult = TimedeltaSeconds.getOrElse(units.trim.toLowerCase,
+      val mult = TimedeltaSeconds.getOrElse(units,
         throw new IllegalArgumentException(s"unsupported CF timedelta unit '$units'"))
       import org.apache.spark.sql.functions.{date_part, lit}
-      val secs = ((date_part(lit("DAY"), iv) * 24 + date_part(lit("HOUR"), iv)) * 60 +
-        date_part(lit("MINUTE"), iv)).cast("double") * 60 +
+      // day count cast to double BEFORE the multiplications: date_part
+      // yields IntegerType and days*24*60 overflows Int (ANSI exception)
+      // for intervals past ~4085 years, which make_dt_interval can build
+      val secs = ((date_part(lit("DAY"), iv).cast("double") * 24 +
+        date_part(lit("HOUR"), iv)) * 60 +
+        date_part(lit("MINUTE"), iv)) * 60 +
         date_part(lit("SECOND"), iv).cast("double")
       secs / mult
     }

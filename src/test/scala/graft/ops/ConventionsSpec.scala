@@ -172,6 +172,9 @@ class ConventionsSpec extends SparkTestBase {
     assert(CfTime.isCfTimedelta("milliseconds") && CfTime.isCfTimedelta("nanoseconds"))
     assert(!CfTime.isCfTimedelta("day") && !CfTime.isCfTimedelta("s"))
     assert(!CfTime.isCfTimedelta("metre") && !CfTime.isCfTimedelta("days since 1970-01-01"))
+    // EXACT membership like xarray's `units in TIME_UNITS`: case and
+    // whitespace variants do NOT qualify
+    assert(!CfTime.isCfTimedelta("Days") && !CfTime.isCfTimedelta(" seconds "))
     // decode: numbers become day-time intervals at the declared unit
     val iv = Seq(90L).toDF("t")
       .select(CfTime.decodeTimedeltaColumn(col("t"), "minutes").as("iv"))
