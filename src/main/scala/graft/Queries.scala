@@ -167,6 +167,12 @@ object Queries {
         Raster(Synth.pixels(spark, modis), modis), reprojDst, ts = 50),
       reprojDst, ts = 50, asLong = false).orderBy("row", "col")
 
+  def qReprojectTiledCubicSpline(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ops.TileWarp.toPixels(
+      graft.ops.TileWarp.reprojectCubicSplineTiles(
+        Raster(Synth.pixels(spark, modis), modis), reprojDst, ts = 50),
+      reprojDst, ts = 50, asLong = false).orderBy("row", "col")
+
   /** reproject(resolution=) / reproject(shape=) kwargs paths
     * (raster_array.py:202-236; destination sizing _make_dst_affine). */
   lazy val reprojResDst: GridRef =

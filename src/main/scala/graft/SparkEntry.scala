@@ -42,6 +42,7 @@ object SparkEntry {
     "q_reproject_tiled" -> (Queries.qReprojectTiled _),
     "q_reproject_tiled_bilinear" -> (Queries.qReprojectTiledBilinear _),
     "q_reproject_tiled_cubic" -> (Queries.qReprojectTiledCubic _),
+    "q_reproject_tiled_cubic_spline" -> (Queries.qReprojectTiledCubicSpline _),
     "q_reproject_ds" -> (Queries.qReprojectDs _),
     "q_reproject_res" -> (Queries.qReprojectRes _),
     "q_reproject_shape" -> (Queries.qReprojectShape _),
@@ -156,6 +157,7 @@ object SparkEntry {
       "q_reproject_tiled" -> Oracles.reprojectNearest,
       "q_reproject_tiled_bilinear" -> Oracles.reprojectBilinear,
       "q_reproject_tiled_cubic" -> Oracles.reprojectCubic,
+      "q_reproject_tiled_cubic_spline" -> Oracles.reprojectCubicSpline,
       "q_reproject_ds" -> Oracles.reprojectDs,
       "q_reproject_res" -> Oracles.reprojectRes,
       "q_reproject_shape" -> Oracles.reprojectShape,

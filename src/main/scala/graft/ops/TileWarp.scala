@@ -132,6 +132,15 @@ object TileWarp {
         dst.nodata, taps = -1 to 2,
         (t, off) => WarpOps.cubicWeightScalar(t, off)))
 
+  /** cubic_spline over packed tiles: identical 4x4 gather/halo as cubic,
+    * B-spline smoothing weights (the scalar sibling of
+    * WarpOps.reprojectCubicSpline) — bit-identical to the exploded path. */
+  def reprojectCubicSplineTiles(srcR: Raster, dst: GridRef, ts: Int): Dataset[DstTile] =
+    warpPacked(pack(srcR, ts), srcR.grid, dst, ts, CoverMarginPx + 3,
+      (tr, tc, tiles) => renderTileKernel(tr, tc, tiles, srcR.grid, dst, ts,
+        dst.nodata, taps = -1 to 2,
+        (t, off) => WarpOps.cubicSplineWeightScalar(t, off)))
+
   /** Shared separable-kernel render: taps x taps gather around
     * (floor(p-0.5)), weight(t, off) per axis, any missing/nodata tap ->
     * nodata, interp = sum_dr wy*(sum_dc wx*v) in tap order (the exploded

@@ -66,6 +66,25 @@ class TileWarpSpec extends SparkTestBase {
     assert(diffs == 0, s"$diffs pixels differ between tile and pixel cubic paths")
   }
 
+  test("tile-native cubic_spline warp == exploded cubic_spline (bit-identical)") {
+    val src = Raster(Synth.pixels(spark, modis), modis)
+    val dst = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
+    val pixelPath = WarpOps.reprojectCubicSpline(src, dst).df
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val tilePath = TileWarp.toPixels(
+        TileWarp.reprojectCubicSplineTiles(src, dst, ts = 40), dst, ts = 40, asLong = false)
+      .select("row", "col", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(tilePath.size == pixelPath.size)
+    var diffs = 0
+    pixelPath.foreach { case (k, v) =>
+      if (java.lang.Double.doubleToLongBits(tilePath(k)) !=
+          java.lang.Double.doubleToLongBits(v)) diffs += 1
+    }
+    assert(diffs == 0, s"$diffs pixels differ between tile and pixel cubic_spline paths")
+  }
+
   test("tile warp gathers source tiles via an equi-join (no cartesian)") {
     val src = Raster(Synth.pixels(spark, modis), modis)
     val dst = GridRef.suggestedWarpOutput(modis, Crs.WGS84)
