@@ -72,7 +72,9 @@ object TileWarp {
   }
 
   /** Scalar mirror of WarpOps.srcPixelColumns (same op order; same
-    * 1e-9-pixel HALF_UP rounding as Spark's round(_, 9)). */
+    * all-IEEE 1e-9-pixel quantization — Quantize9.quant is the single
+    * shared kernel, so tiled and pixel paths are bit-identical by
+    * construction and the per-pixel BigDecimal cost is gone). */
   private def srcPixelScalar(src: GridRef, dst: GridRef,
                              dRow: Long, dCol: Long): (Double, Double) = {
     val t = dst.transform
@@ -88,7 +90,7 @@ object TileWarp {
         val (lon, lat) = dst.crs.proj.inverse(dx, dy)
         src.crs.proj.forward(lon, lat)
       }
-    def r9(v: Double) = BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r9(v: Double) = graft.functions.Quantize9.quant(v)
     val s = src.transform
     if (s.isRectilinear) (r9((sx - s.c) / s.a), r9((sy - s.f) / s.e))
     else {

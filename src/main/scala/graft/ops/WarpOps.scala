@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.core._
+import graft.functions.Quantize9
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -141,9 +142,10 @@ object WarpOps {
         (lit(inv.a) * sx + lit(inv.b) * sy + lit(inv.c),
          lit(inv.d) * sx + lit(inv.e) * sy + lit(inv.f))
       }
-    // 1e-9-pixel rounding so a ULP of libm difference between engines cannot
-    // flip the floor at integer boundaries (matches SQL oracle text)
-    (round(px, 9), round(py, 9))
+    // 1e-9-pixel quantization so a ULP of libm difference between engines
+    // cannot flip the floor at integer boundaries (all-IEEE scaled floor,
+    // identical text in the SQL oracles; see Quantize9 — VERDICT r4 #1)
+    (Quantize9.column(px), Quantize9.column(py))
   }
 
   /** Inverse nearest sample of a source raster onto a *sub-window* of a
@@ -180,8 +182,8 @@ object WarpOps {
     val t = dst.transform; val s = src.transform
     val dxE = s"${t.a}*(CAST(col AS DOUBLE) + 0.5) + ${t.c}"
     val dyE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
-    val pxE = s"ROUND((($dxE) - ${s.c}) / ${s.a}, 9)"
-    val pyE = s"ROUND((($dyE) - ${s.f}) / ${s.e}, 9)"
+    val pxE = Quantize9.sql(s"(($dxE) - ${s.c}) / ${s.a}")
+    val pyE = Quantize9.sql(s"(($dyE) - ${s.f}) / ${s.e}")
     s"""SELECT k.row, k.col, sv.value FROM (
        |  SELECT row, col,
        |    CAST(FLOOR($pxE) AS BIGINT) AS src_col,
@@ -285,8 +287,8 @@ object WarpOps {
     val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
     val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
     val syE = s"$r * (($latE) * $D2R)"
-    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
-    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    val pxE = Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}")
+    val pyE = Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}")
     val union = varSrcs.map { case (v, sql) =>
       s"SELECT '$v' AS var_name, row, col, value FROM ($sql)"
     }.mkString("\nUNION ALL\n")
@@ -323,8 +325,8 @@ object WarpOps {
     val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
     val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
     val syE = s"$r * (($latE) * $D2R)"
-    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
-    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    val pxE = Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}")
+    val pyE = Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}")
     s"""WITH dstpx AS (
        |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
        |         CAST(i % ${dst.width} AS BIGINT) AS col
@@ -348,7 +350,7 @@ object WarpOps {
     * isometric-latitude fixed point unroll into plain SQL; DuckDB has no
     * hyperbolic builtins, so sinh/cosh/tanh/asinh/atanh are written in their
     * EXP/LN forms. The composites differ from the JVM natives by a few ulp,
-    * which the ROUND(px, 9) key guard absorbs (a floor flip needs the true
+    * which the quantize9 key guard absorbs (a floor flip needs the true
     * pixel coordinate within ~1e-11 of an integer — measure ~1e-7 over the
     * whole grid). The 8 fixed-point iterations are staged as CTE columns
     * (inline nesting would double the text per iteration). */
@@ -393,8 +395,8 @@ object WarpOps {
     val sphiN = s"sphi${EllipsoidMath.InvIterations}"
     val sxE = s"$r * (((lon) - $sLon0) * $D2R) * COS((lat) * $D2R)"
     val syE = s"$r * ((lat) * $D2R)"
-    val pxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)"
-    val pyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)"
+    val pxE = Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}")
+    val pyE = Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}")
     s"""WITH dstpx AS (
        |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
        |         CAST(i % ${dst.width} AS BIGINT) AS col
@@ -445,11 +447,11 @@ object WarpOps {
     val s = src.transform
     val (pxE, pyE) =
       if (s.isRectilinear)
-        (s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9)", s"ROUND((($syE) - ${s.f}) / ${s.e}, 9)")
+        (Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}"), Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}"))
       else {
         val inv = s.invert
-        (s"ROUND(${inv.a} * ($sxE) + ${inv.b} * ($syE) + ${inv.c}, 9)",
-         s"ROUND(${inv.d} * ($sxE) + ${inv.e} * ($syE) + ${inv.f}, 9)")
+        (Quantize9.sql(s"${inv.a} * ($sxE) + ${inv.b} * ($syE) + ${inv.c}"),
+         Quantize9.sql(s"${inv.d} * ($sxE) + ${inv.e} * ($syE) + ${inv.f}"))
       }
     s"""WITH dstpx AS (
        |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
@@ -602,8 +604,8 @@ object WarpOps {
     val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
     val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
     val syE = s"$r * (($latE) * $D2R)"
-    val fxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9) - 0.5"
-    val fyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9) - 0.5"
+    val fxE = Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}") + " - 0.5"
+    val fyE = Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}") + " - 0.5"
     val nod = dst.nodata.toLong
     val offs = for (dr <- -1 to 2; dc <- -1 to 2) yield (dr, dc)
     val joins = offs.map { case (dr, dc) =>
@@ -644,7 +646,7 @@ object WarpOps {
 
   /** SQL oracle for reprojectBilinear when dst is longlat and src is the
     * spherical sinusoidal grid (mirrors [[reprojectBilinear]] term-for-term:
-    * wx/wy derive from the ROUND(px,9)-stabilized continuous pixel coords via
+    * wx/wy derive from the quantize9-stabilized continuous pixel coords via
     * exact IEEE ops, so both engines interpolate bit-identically). */
   def bilinearSinuFromLonLatSql(src: GridRef, dst: GridRef, srcSql: String): String = {
     val (r, lon0) = src.crs.proj match {
@@ -656,8 +658,8 @@ object WarpOps {
     val latE = s"${t.e}*(CAST(row AS DOUBLE) + 0.5) + ${t.f}"
     val sxE = s"$r * ((($lonE) - $lon0) * $D2R) * COS(($latE) * $D2R)"
     val syE = s"$r * (($latE) * $D2R)"
-    val fxE = s"ROUND((($sxE) - ${s.c}) / ${s.a}, 9) - 0.5"
-    val fyE = s"ROUND((($syE) - ${s.f}) / ${s.e}, 9) - 0.5"
+    val fxE = Quantize9.sql(s"(($sxE) - ${s.c}) / ${s.a}") + " - 0.5"
+    val fyE = Quantize9.sql(s"(($syE) - ${s.f}) / ${s.e}") + " - 0.5"
     val nod = dst.nodata.toLong
     s"""WITH dstpx AS (
        |  SELECT CAST(i // ${dst.width} AS BIGINT) AS row,
@@ -1115,8 +1117,8 @@ object WarpOps {
       .select(expr(s"id div ${dst.width}").as("row"), (col("id") % dst.width).as("col"))
     val (px, py) = pxy(col("row"), col("col"))
     val keyed = dstPx
-      .withColumn("src_col", floor(round(px, 9)))
-      .withColumn("src_row", floor(round(py, 9)))
+      .withColumn("src_col", floor(Quantize9.column(px)))
+      .withColumn("src_row", floor(Quantize9.column(py)))
     val srcDf = srcR.df.select(col("row").as("s_row"), col("col").as("s_col"),
                                col("value").as("s_value"))
     val joined = keyed.join(srcDf,
@@ -1196,7 +1198,7 @@ object WarpOps {
   }
 
   /** DuckDB mirror of [[reprojectGcpPolyNearest]] (dstCrs == gcpCrs):
-    * literal inverse-poly coefficients, same keyed ROUND(,9) guard as the
+    * literal inverse-poly coefficients, same keyed quantize9 guard as the
     * homography oracle. */
   def gcpPolyNearestSql(dst: GridRef, inv: Poly2D, srcSql: String): String = {
     val t = dst.transform
@@ -1212,8 +1214,8 @@ object WarpOps {
        |  SELECT row, col, $gxE AS gx, $gyE AS gy FROM dstpx),
        |keyed AS (
        |  SELECT row, col,
-       |    CAST(FLOOR(ROUND($pxE, 9)) AS BIGINT) AS src_col,
-       |    CAST(FLOOR(ROUND($pyE, 9)) AS BIGINT) AS src_row
+       |    CAST(FLOOR(${Quantize9.sql(pxE)}) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(${Quantize9.sql(pyE)}) AS BIGINT) AS src_row
        |  FROM ground),
        |src AS ($srcSql)
        |SELECT k.row, k.col,
@@ -1239,7 +1241,7 @@ object WarpOps {
     * rounded, whereas a bare 17-digit literal becomes DECIMAL whose
     * int128-based conversion to double can land 1 ulp off the Java parse.
     * Matters for raw double *output* columns (the keyed path is protected by
-    * ROUND(..., 9)). */
+    * the quantize9 guard). */
   def dlit(v: Double): String = s"('$v'::DOUBLE)"
 
   def gcpNearestSql(dst: GridRef, hInv: Homography, srcSql: String): String = {
@@ -1257,8 +1259,8 @@ object WarpOps {
        |  SELECT row, col, $gxE AS gx, $gyE AS gy FROM dstpx),
        |keyed AS (
        |  SELECT row, col,
-       |    CAST(FLOOR(ROUND($pxE, 9)) AS BIGINT) AS src_col,
-       |    CAST(FLOOR(ROUND($pyE, 9)) AS BIGINT) AS src_row
+       |    CAST(FLOOR(${Quantize9.sql(pxE)}) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(${Quantize9.sql(pyE)}) AS BIGINT) AS src_row
        |  FROM ground),
        |src AS ($srcSql)
        |SELECT k.row, k.col,
@@ -1338,8 +1340,8 @@ object WarpOps {
        |  FROM dstpx),
        |keyed AS (
        |  SELECT row, col,
-       |    CAST(FLOOR(ROUND($colE, 9)) AS BIGINT) AS src_col,
-       |    CAST(FLOOR(ROUND($rowE, 9)) AS BIGINT) AS src_row
+       |    CAST(FLOOR(${Quantize9.sql(colE)}) AS BIGINT) AS src_col,
+       |    CAST(FLOOR(${Quantize9.sql(rowE)}) AS BIGINT) AS src_row
        |  FROM ground),
        |src AS ($srcSql)
        |SELECT k.row, k.col,
@@ -1376,8 +1378,8 @@ object WarpOps {
     val t = dst.transform
     require(t.b == 0 && t.d == 0, "geoloc warp needs a north-up rectilinear dst")
     val nodata = dst.nodata.toLong
-    val pcol = floor(round((col("lon") - t.c) / t.a, 9))
-    val prow = floor(round((col("lat") - t.f) / t.e, 9))
+    val pcol = floor(Quantize9.column((col("lon") - t.c) / t.a))
+    val prow = floor(Quantize9.column((col("lat") - t.f) / t.e))
     val cx = lit(t.a) * (col("pcol") + 0.5d) + lit(t.c)
     val cy = lit(t.e) * (col("prow") + 0.5d) + lit(t.f)
     val d2 = (col("lon") - cx) * (col("lon") - cx) +
@@ -1410,8 +1412,8 @@ object WarpOps {
     val cy = s"($e * (prow + 0.5) + $f)"
     s"""WITH _gsrc AS ($srcSql),
        |_proj AS (SELECT row AS srow, col AS scol, value, lon, lat,
-       |    CAST(FLOOR(ROUND((lon - $c) / $a, 9)) AS BIGINT) AS pcol,
-       |    CAST(FLOOR(ROUND((lat - $f) / $e, 9)) AS BIGINT) AS prow
+       |    CAST(FLOOR(${Quantize9.sql(s"(lon - $c) / $a")}) AS BIGINT) AS pcol,
+       |    CAST(FLOOR(${Quantize9.sql(s"(lat - $f) / $e")}) AS BIGINT) AS prow
        |  FROM _gsrc),
        |_flt AS (SELECT * FROM _proj
        |  WHERE pcol >= 0 AND pcol < ${dst.width} AND prow >= 0 AND prow < ${dst.height}),
