@@ -485,42 +485,64 @@ object Conventions {
       "int64" -> (-9.223372036854776e18, 9.223372036854776e18),
       "uint64" -> (0.0, 1.8446744073709552e19))
 
-    /** IEEE half-precision round-trip of a double (round-to-nearest-even,
-      * standard bit algorithm) — JDK 17 has no Float.float16 yet. */
+    /** Dtypes whose upper bound above is the float64 image of 2^63 / 2^64 —
+      * one past the exact maximum (2^63-1 and 2^64-1 are not representable
+      * as doubles, so they round UP to the excluded power of two). For
+      * these the bound itself overflows the dtype: the reference's
+      * astype-and-compare coercion would see the value change and raise, so
+      * the comparison must be exclusive. The narrower dtypes' maxima are
+      * exactly representable and stay inclusive. */
+    private val exclusiveHi = Set("int64", "uint64")
+
+    /** IEEE half-precision round-trip of a double — JDK 17 has no
+      * Float.float16 yet. The half bits derive DIRECTLY from the 52-bit
+      * double significand (one round-to-nearest-even), not via an
+      * intermediate `toFloat`: the earlier float-staged version double-
+      * rounded, which can disagree with numpy's direct float64→float16
+      * conversion when the float32 step lands exactly on a binary16 tie
+      * (round-4 ADVICE). */
     private def halfRoundTrip(v: Double): Double = {
-      val f = v.toFloat
-      val bits = java.lang.Float.floatToIntBits(f)
-      val sign = (bits >>> 16) & 0x8000
-      val absBits = bits & 0x7fffffff
+      val bits = java.lang.Double.doubleToLongBits(v)
+      val sign = ((bits >>> 48) & 0x8000L).toInt
+      val absBits = bits & 0x7fffffffffffffffL
+      val expField = (absBits >>> 52).toInt // biased, 0..2047
+      val unbE = expField - 1023
+      val mant52 = absBits & 0xfffffffffffffL
       val h: Int =
-        if (absBits >= 0x7f800000) sign | 0x7c00 | (if (absBits > 0x7f800000) 0x200 else 0)
-        else if (absBits >= 0x47800000) sign | 0x7c00 // overflow -> inf
-        else if (absBits >= 0x38800000) { // normal half
-          val mant = absBits & 0x7fffff
-          val exp = (absBits >>> 23) - 112
-          val rounded = ((exp << 10) | (mant >>> 13)) +
-            (((mant >>> 12) & 1) & (if ((mant & 0xfff) != 0 || ((mant >>> 13) & 1) != 0) 1 else 0))
-          sign | rounded
-        } else if (absBits >= 0x33000000) { // subnormal half
-          // shift = 126 - floatExp maps float exponent -14 (the largest
-          // subnormal-producing range, 0x38...) to a 14-bit right shift of
-          // the 24-bit significand -> 10 result bits. The first cut of this
-          // arm shifted by (shift+1) and halved every subnormal (round-4
-          // self-review, verified against the IEEE binary16 values).
-          val shift = 126 - (absBits >>> 23)
-          val mant = (absBits & 0x7fffff) | 0x800000
-          val m = mant >>> shift
-          val rem = mant & ((1 << shift) - 1)
-          val half = 1 << (shift - 1)
-          sign | (m + (if (rem > half || (rem == half && (m & 1) != 0)) 1 else 0))
-        } else sign // underflow -> signed zero
-      // half -> float
-      val s = (h >>> 15) & 1; val e = (h >>> 10) & 0x1f; val m = h & 0x3ff
-      val back =
-        if (e == 0x1f) { if (m == 0) (if (s == 1) Float.NegativeInfinity else Float.PositiveInfinity) else Float.NaN }
-        else if (e == 0) (if (s == 1) -1f else 1f) * m * math.pow(2, -24).toFloat
-        else (if (s == 1) -1f else 1f) * (1f + m / 1024f) * math.pow(2, e - 15).toFloat
-      back.toDouble
+        if (expField == 0x7ff) // inf / nan
+          sign | 0x7c00 | (if (mant52 != 0L) 0x200 else 0)
+        else if (absBits == 0L) sign // signed zero
+        else if (unbE >= -14) { // normal-half candidate (incl. overflow)
+          // keep the top 10 significand bits; RNE on the remaining 42; the
+          // carry ripples into the exponent and saturates to inf at 0x7c00
+          // exactly when the value rounds past the max finite half (65504)
+          val halfExp = unbE + 15
+          if (halfExp >= 0x1f) sign | 0x7c00
+          else {
+            val m10 = (mant52 >>> 42).toInt
+            val roundBit = ((mant52 >>> 41) & 1L).toInt
+            val sticky = (mant52 & ((1L << 41) - 1)) != 0L
+            val inc = if (roundBit == 1 && (sticky || (m10 & 1) == 1)) 1 else 0
+            sign | (((halfExp << 10) | m10) + inc)
+          }
+        } else if (unbE >= -25) { // subnormal half (and the 2^-25 tie row)
+          // shift the 53-bit significand so the result scales by 2^-24;
+          // at unbE = -25 the whole significand is remainder: an exact
+          // 2^-25 ties to even (zero), anything above rounds to the min
+          // subnormal — the IEEE behaviour by construction
+          val sig = (1L << 52) | mant52
+          val shift = 42 + (-14 - unbE) // 43..53
+          val m = (sig >>> shift).toInt
+          val rem = sig & ((1L << shift) - 1)
+          val half = 1L << (shift - 1)
+          sign | (m + (if (rem > half || (rem == half && (m & 1) == 1)) 1 else 0))
+        } else sign // < 2^-25: underflow to signed zero
+      // half -> double (exact: every half value is a small dyadic rational)
+      val s = if (((h >>> 15) & 1) == 1) -1.0 else 1.0
+      val e = (h >>> 10) & 0x1f; val m = h & 0x3ff
+      if (e == 0x1f) { if (m == 0) s * Double.PositiveInfinity else Double.NaN }
+      else if (e == 0) s * Math.scalb(m.toDouble, -24)
+      else s * Math.scalb(1.0 + m / 1024.0, e - 15)
     }
 
     /** The reference's `_ensure_nodata_dtype` (raster_writer.py:121-146):
@@ -546,7 +568,7 @@ object Conventions {
         val (lo, hi) = intRange(d)
         if (nodata.isNaN || nodata.isInfinite) fail()
         else if (nodata != math.rint(nodata)) fail() // fractional: truncation changes it
-        else if (nodata < lo || nodata > hi) fail()
+        else if (nodata < lo || (if (exclusiveHi(d)) nodata >= hi else nodata > hi)) fail()
         else nodata
       }
     }

@@ -60,27 +60,35 @@ object StoreLayout {
     if (!fs.exists(root)) None
     else fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith(MarkerPrefix))
-      .flatMap { s =>
-        val rest = s.getPath.getName.stripPrefix(MarkerPrefix)
-        val i = rest.indexOf('.')
-        if (i > 0)
-          scala.util.Try((rest.take(i).toLong, rest.drop(i + 1))).toOption
-        else scala.util.Try {
-          val gen = rest.toLong
-          val in = fs.open(s.getPath)
-          val qid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                    finally in.close()
-          if (qid.nonEmpty) Some((gen, qid))
-          else {
-            val dirs = fs.globStatus(new Path(root, s"$GenPrefix$gen.*"))
-            if (dirs != null && dirs.count(_.isDirectory) == 1)
-              Some((gen, dirs.find(_.isDirectory).get.getPath.getName
-                .stripPrefix(s"$GenPrefix$gen.")))
-            else None
-          }
-        }.toOption.flatten
-      }
+      .flatMap(s => resolveMarker(fs, root, s.getPath))
       .sortBy { case (g, q) => (g, q) }.lastOption
+
+  /** The single marker-resolution rule (shared by [[liveGeneration]] and
+    * the sweep's retention pick, which must agree on what "committed"
+    * means — a retained snapshot readers cannot resolve would defeat
+    * retention, round-4 ADVICE): name-encoded qid, else file content, else
+    * the exactly-one `_gen-<gen>.*` directory glob. */
+  private def resolveMarker(fs: FileSystem, root: Path,
+                            marker: Path): Option[(Long, String)] = {
+    val rest = marker.getName.stripPrefix(MarkerPrefix)
+    val i = rest.indexOf('.')
+    if (i > 0)
+      scala.util.Try((rest.take(i).toLong, rest.drop(i + 1))).toOption
+    else scala.util.Try {
+      val gen = rest.toLong
+      val in = fs.open(marker)
+      val qid = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      if (qid.nonEmpty) Some((gen, qid))
+      else {
+        val dirs = fs.globStatus(new Path(root, s"$GenPrefix$gen.*"))
+        if (dirs != null && dirs.count(_.isDirectory) == 1)
+          Some((gen, dirs.find(_.isDirectory).get.getPath.getName
+            .stripPrefix(s"$GenPrefix$gen.")))
+        else None
+      }
+    }.toOption.flatten
+  }
 
   /** Grace period before an UNMARKED generation directory is considered a
     * crashed writer's garbage: by name alone it is indistinguishable from a
@@ -116,7 +124,17 @@ object StoreLayout {
       case MarkerName(g) => Some(g.toLong)
       case _ => None
     }).toSet
-    val keepPrev = markedGens.filter(_ < ownGen) match {
+    // keepPrev must be a generation READERS CAN RESOLVE, not merely one
+    // with a marker file: a crashed race can leave a marker whose content
+    // is empty and whose gen-dir glob is ambiguous — retaining only that
+    // while deleting the resolvable predecessor would strand readers
+    // (round-4 ADVICE). So the retention pick runs the same resolution
+    // rule liveGeneration uses.
+    val resolvableGens = entries
+      .filter(s => s.isFile && s.getPath.getName.startsWith(MarkerPrefix))
+      .flatMap(s => resolveMarker(fs, root, s.getPath))
+      .map(_._1).toSet
+    val keepPrev = resolvableGens.filter(_ < ownGen) match {
       case s if s.isEmpty => -1L
       case s => s.max
     }

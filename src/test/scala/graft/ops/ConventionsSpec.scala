@@ -319,6 +319,27 @@ class ConventionsSpec extends SparkTestBase {
       == 5.960464477539063e-8) // 2^-24, smallest subnormal
     intercept[IllegalArgumentException] {
       ensureNodataDtype(2.9802322387695312e-8, "float16") } // 2^-25: ties to 0
+    // int64/uint64 upper bounds: the float64 images of 2^63 / 2^64 sit ONE
+    // PAST the exact maxima (which are not representable), so the bound
+    // value itself overflows the dtype and must fail like the reference's
+    // astype-and-compare would (round-4 ADVICE); the largest representable
+    // doubles BELOW the bounds pass
+    intercept[IllegalArgumentException] { ensureNodataDtype(9.223372036854776e18, "int64") }
+    intercept[IllegalArgumentException] { ensureNodataDtype(1.8446744073709552e19, "uint64") }
+    assert(ensureNodataDtype(9223372036854774784.0, "int64") == 9223372036854774784.0)
+    assert(ensureNodataDtype(18446744073709549568.0, "uint64") == 18446744073709549568.0)
+    assert(ensureNodataDtype(-9.223372036854776e18, "int64") == -9.223372036854776e18)
+    // float16 double-rounding adversary: the double one ULP below the
+    // binary16 tie 1 + 1.5/1024 converts float32-exactly ONTO the tie, so
+    // the old float-staged conversion rounded it to even (1 + 2/1024) and
+    // back-compared unequal for the wrong reason; the direct conversion
+    // (one RNE from the 52-bit significand, numpy-verified over 133k
+    // values) rounds it down to 1 + 1/1024 — either way non-representable,
+    // and the representable neighbours pass exactly
+    intercept[IllegalArgumentException] {
+      ensureNodataDtype(Math.nextDown(1.00146484375), "float16") }
+    assert(ensureNodataDtype(1.0009765625, "float16") == 1.0009765625) // 1+1/1024
+    assert(ensureNodataDtype(1.001953125, "float16") == 1.001953125) // 1+2/1024
     // complex dtypes pass real-valued nodata through untouched
     assert(ensureNodataDtype(-1.0, "cint16") == -1.0)
     assert(ensureNodataDtype(Double.NaN, "cfloat32").isNaN)

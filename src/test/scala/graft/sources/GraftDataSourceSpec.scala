@@ -365,6 +365,42 @@ class GraftDataSourceSpec extends SparkTestBase {
     assert(StoreLayout.liveGeneration(fs, root).contains((1L, "q1")))
   }
 
+  test("sweep retention keeps a generation readers can RESOLVE, not a crashed race's shell") {
+    val root = new org.apache.hadoop.fs.Path(
+      java.nio.file.Files.createTempDirectory("graft-sweep-resolve").toString)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def mk(name: String, dir: Boolean, content: String = ""): Unit =
+      if (dir) { fs.mkdirs(new org.apache.hadoop.fs.Path(root, name)); () }
+      else {
+        val o = fs.create(new org.apache.hadoop.fs.Path(root, name), true)
+        o.write(content.getBytes("UTF-8")); o.close()
+      }
+    // gen 1: committed, resolvable — the generation in-flight readers are on
+    mk(s"${StoreLayout.GenPrefix}1.a", dir = true)
+    mk(s"${StoreLayout.MarkerPrefix}1", dir = false, content = "a")
+    // gen 2: crashed race — empty marker content AND two candidate dirs, so
+    // liveGeneration refuses to resolve it (readers fell back to gen 1)
+    mk(s"${StoreLayout.GenPrefix}2.q2", dir = true)
+    mk(s"${StoreLayout.GenPrefix}2.q3", dir = true)
+    mk(s"${StoreLayout.MarkerPrefix}2", dir = false)
+    assert(StoreLayout.liveGeneration(fs, root).contains((1L, "a")))
+    // our commit at gen 3 sweeps: the retained previous snapshot must be
+    // the RESOLVABLE gen 1 (a by-filename keepPrev would have picked the
+    // unreadable gen 2 and deleted gen 1 under in-flight readers —
+    // round-4 ADVICE)
+    mk(s"${StoreLayout.GenPrefix}3.own", dir = true)
+    mk(s"${StoreLayout.MarkerPrefix}3", dir = false, content = "own")
+    StoreLayout.sweepSuperseded(fs, root, ownGen = 3)
+    val left = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(left.contains("_gen-1.a") && left.contains("_committed-1"),
+      s"resolvable previous snapshot must be retained: $left")
+    assert(!left.contains("_gen-2.q2") && !left.contains("_gen-2.q3") &&
+           !left.contains("_committed-2"),
+      s"the unresolvable crashed race must be swept: $left")
+    assert(left.contains("_gen-3.own") && left.contains("_committed-3"))
+    assert(StoreLayout.liveGeneration(fs, root).contains((3L, "own")))
+  }
+
   test("scan plans from the _index sidecar, not per-file footers") {
     // the shared TileIO store now carries an _index; pruning must still hold
     val fs = new org.apache.hadoop.fs.Path(store)
