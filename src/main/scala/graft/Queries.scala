@@ -477,6 +477,10 @@ object Queries {
     InterpolateOps.interpolateNaNearest(modisPixels(spark), bucket = 4)
       .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
 
+  def qInterpolateNaLinear(spark: SparkSession, sfDir: String): DataFrame =
+    InterpolateOps.interpolateNaLinear(modisPixels(spark), bucket = 4)
+      .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
+
   val bandGrid: GridRef = modis.copy(width = 40, height = 40)
   def qBandPivot(spark: SparkSession, sfDir: String): DataFrame =
     BandOps.bandAsVariable(BandOps.pixels3d(spark, bandGrid, 3), 3)
@@ -1014,6 +1018,8 @@ object Queries {
     }
 
     def interpolateNa: String = InterpolateOps.interpolateNaSql(px, modis)
+
+    def interpolateNaLinear: String = InterpolateOps.interpolateNaLinearSql(px, modis)
 
     def bandPivot: String =
       BandOps.bandAsVariableSql(BandOps.pixels3dSql(bandGrid, 3), 3)

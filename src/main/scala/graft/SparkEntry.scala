@@ -72,6 +72,7 @@ object SparkEntry {
     "q_clip_geom_500" -> (Queries.qClipGeom500 _),
     "q_zonal_stats" -> (Queries.qZonalStats _),
     "q_interpolate_na" -> (Queries.qInterpolateNa _),
+    "q_interpolate_na_linear" -> (Queries.qInterpolateNaLinear _),
     "q_band_pivot" -> (Queries.qBandPivot _),
     "q_cell_index" -> (Queries.qCellIndex _),
     "q_cell_index_s2" -> (Queries.qCellIndexS2 _),
@@ -188,6 +189,7 @@ object SparkEntry {
       "q_clip_geom_500" -> Oracles.clipGeom500,
       "q_zonal_stats" -> Oracles.zonalStats,
       "q_interpolate_na" -> Oracles.interpolateNa,
+      "q_interpolate_na_linear" -> Oracles.interpolateNaLinear,
       "q_band_pivot" -> Oracles.bandPivot,
       "q_cell_index" -> Oracles.cellIndex,
       "q_cell_index_s2" -> Oracles.cellIndexS2,
