@@ -104,6 +104,10 @@ object Bench {
         mergedGrid, dst, ts).count(): Unit
     }
 
+    // hex flagship granularity (default 6 = the quadtree level-12 pitch
+    // match); override for same-window A/B attribution measurements only
+    val hexRes = sys.env.getOrElse("SPARK_GRAFT_HEX_RES", "6").toInt
+
     // every flagship leg as (name, warmup, run); measurement below is ONE
     // interleaved min-of-rounds loop so a host-throttle burst hits all legs
     // equally (the same protocol the catalog sweep uses)
@@ -115,8 +119,8 @@ object Bench {
         () => { DocPipeline.runS2(spark, nDocs / 100, parallelism = cpus.toInt); () },
         () => { DocPipeline.runS2(spark, nDocs, parallelism = par); () }),
       ("hex",
-        () => { DocPipeline.runHex(spark, nDocs / 100, parallelism = cpus.toInt); () },
-        () => { DocPipeline.runHex(spark, nDocs, parallelism = par); () }),
+        () => { DocPipeline.runHex(spark, nDocs / 100, res = hexRes, parallelism = cpus.toInt); () },
+        () => { DocPipeline.runHex(spark, nDocs, res = hexRes, parallelism = par); () }),
       ("raster", () => (), () => rasterRun()),
       ("tiles", () => tilesSetup(), () => tilesRun()))
 

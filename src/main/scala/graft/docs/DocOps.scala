@@ -294,11 +294,16 @@ object DocOps {
 
   /** H3-style hex cell cover of each doc geometry bbox (the north_rule's
     * "H3 (res 7-12) ... cell covers for every geometry"): candidate axial
-    * range from the bbox corners' float axial hull (±1 margin — the axial
-    * map is linear in lon/lat so the rect's axial image is exactly the
-    * corner hull, and an intersecting hexagon's centre sits within
-    * circumradius `size` of the rect, i.e. within |grad qf|*size =
-    * (2/3)*size/size = 2/3 < 1 axial unit of the hull), then the
+    * range from the bbox corners' float axial hull expanded by the EXACT
+    * fractional margin — the axial map is linear in lon/lat so the rect's
+    * axial image is exactly the corner hull, and an intersecting hexagon's
+    * centre sits within circumradius `size` of the rect, i.e. within
+    * |grad qf|*size = |grad rf|*size = (2/3)*size/size = 2/3 axial units
+    * of the hull. Candidates are therefore ceil(min − 0.67) ..
+    * floor(max + 0.67) per axis (0.67 = 2/3 plus fp slack, identical
+    * literal both engines); the range always contains an integer (width
+    * > 1.34). This replaces the earlier integer ±1 margin: for sub-hex
+    * rects the candidate set drops from ~4x4 to ~1-2x1-2 before the
     * EXACT hexagon-vs-rectangle separating-axis test — 5 axes: world x/y
     * plus the hexagon's three edge normals, all per-res literal constants.
     * Map-only explode + codegen filter; each covering cell emitted exactly
@@ -314,10 +319,10 @@ object DocOps {
       ((col("lat_min") + col("lat_max")) / 2.0).as("rcy"),
       ((col("lon_max") - col("lon_min")) / 2.0).as("hw"),
       ((col("lat_max") - col("lat_min")) / 2.0).as("hh"),
-      (floor(least(qrs.map(_._1): _*)) - 1).cast("long").as("q0"),
-      (ceil(greatest(qrs.map(_._1): _*)) + 1).cast("long").as("q1"),
-      (floor(least(qrs.map(_._2): _*)) - 1).cast("long").as("r0"),
-      (ceil(greatest(qrs.map(_._2): _*)) + 1).cast("long").as("r1"))
+      ceil(least(qrs.map(_._1): _*) - 0.67d).cast("long").as("q0"),
+      floor(greatest(qrs.map(_._1): _*) + 0.67d).cast("long").as("q1"),
+      ceil(least(qrs.map(_._2): _*) - 0.67d).cast("long").as("r0"),
+      floor(greatest(qrs.map(_._2): _*) + 0.67d).cast("long").as("r1"))
     val cand = ranged
       .select(col("*"), explode(sequence(col("q0"), col("q1"))).as("hq"))
       .select(col("*"), explode(sequence(col("r0"), col("r1"))).as("hr"))
@@ -395,10 +400,10 @@ object DocOps {
        |  SELECT doc_id,
        |    (lon_min + lon_max) / 2.0 AS rcx, (lat_min + lat_max) / 2.0 AS rcy,
        |    (lon_max - lon_min) / 2.0 AS hw, (lat_max - lat_min) / 2.0 AS hh,
-       |    CAST(FLOOR(LEAST(${qfs.mkString(", ")})) - 1 AS BIGINT) AS q0,
-       |    CAST(CEIL(GREATEST(${qfs.mkString(", ")})) + 1 AS BIGINT) AS q1,
-       |    CAST(FLOOR(LEAST(${rfs.mkString(", ")})) - 1 AS BIGINT) AS r0,
-       |    CAST(CEIL(GREATEST(${rfs.mkString(", ")})) + 1 AS BIGINT) AS r1
+       |    CAST(CEIL(LEAST(${qfs.mkString(", ")}) - 0.67) AS BIGINT) AS q0,
+       |    CAST(FLOOR(GREATEST(${qfs.mkString(", ")}) + 0.67) AS BIGINT) AS q1,
+       |    CAST(CEIL(LEAST(${rfs.mkString(", ")}) - 0.67) AS BIGINT) AS r0,
+       |    CAST(FLOOR(GREATEST(${rfs.mkString(", ")}) + 0.67) AS BIGINT) AS r1
        |  FROM _b),
        |_cq AS (SELECT *, unnest(generate_series(q0, q1)) AS hq FROM _rng),
        |_cr AS (SELECT *, unnest(generate_series(r0, r1)) AS hr FROM _cq),

@@ -62,7 +62,17 @@ object DocPipeline {
     (r.getLong(0), r.getLong(1))
   }
 
-  def runHex(spark: SparkSession, nDocs: Long, res: Int = 5,
+  /** Hex res 6 is the granularity match for the quadtree flagship's level
+    * 12, by the same pitch argument that moved the S2 leg from level 7 to
+    * 10: hex diameter sqrt(3)*R0/sqrt(7)^6 = 0.0757° vs the quadtree pitch
+    * 360/2^12 = 0.088°. Round 4 ran this leg at res 5 (diameter 0.20°,
+    * ~2.6x coarser): the 64 flagship tile centres collapsed into 13 hex
+    * cells and the equi-join emitted 11.2 assignment rows/doc vs the
+    * quadtree's ~4 (22.4M vs 8M rows at 2M docs; HexProbe measurement) —
+    * join fan-out, not the SAT cover, was the hex leg's 2.5x gap. At res 6
+    * the three legs do equivalent semantic work: 3.15 cover cells/doc,
+    * 3.76 assignment rows/doc, 48 distinct tile cells. */
+  def runHex(spark: SparkSession, nDocs: Long, res: Int = 6,
              parallelism: Int = 0): (Long, Long) = {
     val spans = DocOps.interleave(syntheticDocs(spark, nDocs, parallelism))
     val perTile = DocOps.spatialTileAssignmentsHex(spans, Synth.modisGrid, res)
