@@ -283,6 +283,37 @@ object Oracles {
   def bandPivot: String =
     BandOps.bandAsVariableSql(BandOps.pixels3dSql(bandGrid, 3), 3)
 
+  /** Complex magnitude: re*re + im*im is exact integer arithmetic in
+    * BIGINT; the single SQRT is correctly-rounded IEEE in both engines, so
+    * no quantization guard is needed (cf. the Quantize9 warp guards, which
+    * protect libm trig — sqrt is not libm-variant). */
+  def complexAbs: String = {
+    val nd = modis.nodata.toLong
+    s"""WITH c AS (${ComplexOps.complexPixelsSql(modis, 12345L, 777L)})
+       |SELECT row, col,
+       |  CASE WHEN re = $nd THEN CAST($nd AS DOUBLE)
+       |       ELSE SQRT(CAST(re*re + im*im AS DOUBLE)) END AS value
+       |FROM c ORDER BY row, col""".stripMargin
+  }
+
+  /** Cross-power spectrum a·conj(b): all-BIGINT, same operand order as the
+    * Spark Columns (a_re*b_re + a_im*b_im, a_im*b_re - a_re*b_im). */
+  def complexCrossPower: String = {
+    val nd = modis.nodata.toLong
+    s"""WITH c AS (SELECT row, col,
+       |    ${Synth.valueSql(nd, 12345L)} AS a_re,
+       |    ${Synth.valueSql(nd, 777L)} AS a_im,
+       |    ${Synth.valueSql(nd, 4242L)} AS b_re,
+       |    ${Synth.valueSql(nd, 991L)} AS b_im
+       |  FROM (SELECT CAST(i // ${modis.width} AS BIGINT) AS row,
+       |               CAST(i % ${modis.width} AS BIGINT) AS col
+       |        FROM generate_series(0, ${modis.width.toLong * modis.height - 1}) t(i)))
+       |SELECT row, col,
+       |  a_re*b_re + a_im*b_im AS cp_re,
+       |  a_im*b_re - a_re*b_im AS cp_im
+       |FROM c WHERE a_re <> $nd ORDER BY row, col""".stripMargin
+  }
+
   def cellIndex: String = {
     val (r, lon0) = (6371007.181, 0.0)
     val latE = s"(y / $r) / ${WarpOps.D2R}"
@@ -337,6 +368,11 @@ object Oracles {
   def dedupJaccard: String = graft.dedup.DedupOps.jaccardPairsSql(corpusSliceSql, 0.5)
   def dedupMinhashLsh: String = graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5)
   def dedupSimhash: String = graft.dedup.DedupOps.simhashPairsSql(dedupCorpusSql, 3)
+  def dedupClusters: String = graft.dedup.ClusterOps.dupClustersSql(
+    graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5))
+  def decontaminate: String = graft.dedup.DedupOps.contaminatedDocsSql(dedupCorpusSql)
+  def sampleStratified: String = graft.text.CurationOps.stratifiedSampleSql("documents")
+  def packSequences: String = graft.text.CurationOps.packSequencesSql("documents", 512)
   def annTopk: String = graft.ann.AnnOps.bruteForceTopKSql(
     s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)
   def annLsh: String = graft.ann.AnnOps.lshTopKSql(embCastSql, 5)

@@ -481,6 +481,34 @@ object Queries {
     InterpolateOps.interpolateNaLinear(modisPixels(spark), bucket = 4)
       .df.select("row", "col", "x", "y", "value").orderBy("row", "col")
 
+  // ---- complex-valued pixels (reference dtype surface _io.py:493-501) ----
+
+  /** Magnitude of a synthetic cfloat raster (channels re/im from one
+    * map-only projection; sqrt is correctly-rounded IEEE in both engines
+    * over exact integer inputs — no guard needed). */
+  def qComplexAbs(spark: SparkSession, sfDir: String): DataFrame =
+    ComplexOps.complexPixels(spark, modis, 12345L, 777L)
+      .select(col("row"), col("col"),
+        ComplexOps.magnitude(col("re"), col("im"), modis.nodata.toLong).as("value"))
+      .orderBy("row", "col")
+
+  /** Cross-power spectrum a · conj(b) of two synthetic complex rasters —
+    * the phase-correlation kernel; all-integer, exact, single projection
+    * (both rasters derive from the same (row, col) frame: no join). The
+    * nodata mask is seed-independent, so one channel's mask filters all
+    * four. */
+  def qComplexCrossPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val nd = modis.nodata.toLong
+    val c = ComplexOps.complexPixels(spark, modis, 12345L, 777L)
+      .withColumn("b_re", Synth.valueColumn(col("row"), col("col"), nd, 4242L))
+      .withColumn("b_im", Synth.valueColumn(col("row"), col("col"), nd, 991L))
+      .filter(col("re") =!= nd)
+    val (cpRe, cpIm) = ComplexOps.conjProduct(
+      col("re"), col("im"), col("b_re"), col("b_im"))
+    c.select(col("row"), col("col"), cpRe.as("cp_re"), cpIm.as("cp_im"))
+      .orderBy("row", "col")
+  }
+
   val bandGrid: GridRef = modis.copy(width = 40, height = 40)
   def qBandPivot(spark: SparkSession, sfDir: String): DataFrame =
     BandOps.bandAsVariable(BandOps.pixels3d(spark, bandGrid, 3), 3)
@@ -628,6 +656,34 @@ object Queries {
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     graft.dedup.DedupOps.simhashPairs(dedupCorpus(spark, sfDir), maxDist = 3)
       .orderBy("doc_a", "doc_b")
+
+  /** Duplicate clusters from the MinHash-LSH pair graph: distributed
+    * min-label propagation to fixpoint; keeper = min doc_id per component
+    * (pair emission alone under-deduplicates — near-dup similarity is not
+    * transitive). */
+  def qDedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.ClusterOps.dupClusters(
+      graft.dedup.DedupOps.lshPairs(corpusSlice(spark, sfDir), k = 16,
+        bands = 4, threshold = 0.5)).orderBy("doc_id")
+
+  /** Benchmark decontamination: training docs sharing a verbatim 64-char
+    * window with the held-out benchmark slice (doc_id % 35 = 0) of the
+    * planted-duplicate corpus. */
+  def qDecontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.DedupOps.contaminatedDocs(dedupCorpus(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sample by language (hash-bucket keyed on
+    * doc_id; broadcast rate dimension). */
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.CurationOps.stratifiedSample(documents(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Token-budget sequence packing (concat-and-chunk) via a distributed
+    * two-pass prefix sum — never a single-partition global window. */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.CurationOps.packSequences(documents(spark, sfDir), budget = 512)
+      .orderBy("doc_id")
 
   def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     graft.text.TextOps.tokenCounts(documents(spark, sfDir)).orderBy("doc_id")

@@ -73,6 +73,8 @@ object SparkEntry {
     "q_zonal_stats" -> (Queries.qZonalStats _),
     "q_interpolate_na" -> (Queries.qInterpolateNa _),
     "q_interpolate_na_linear" -> (Queries.qInterpolateNaLinear _),
+    "q_complex_abs" -> (Queries.qComplexAbs _),
+    "q_complex_cross_power" -> (Queries.qComplexCrossPower _),
     "q_band_pivot" -> (Queries.qBandPivot _),
     "q_cell_index" -> (Queries.qCellIndex _),
     "q_cell_index_s2" -> (Queries.qCellIndexS2 _),
@@ -89,6 +91,10 @@ object SparkEntry {
     "q_dedup_jaccard" -> (Queries.qDedupJaccard _),
     "q_dedup_minhash_lsh" -> (Queries.qDedupMinhashLsh _),
     "q_dedup_simhash" -> (Queries.qDedupSimhash _),
+    "q_dedup_clusters" -> (Queries.qDedupClusters _),
+    "q_decontaminate" -> (Queries.qDecontaminate _),
+    "q_sample_stratified" -> (Queries.qSampleStratified _),
+    "q_pack_sequences" -> (Queries.qPackSequences _),
     "q_ann_topk" -> (Queries.qAnnTopk _),
     "q_ann_lsh" -> (Queries.qAnnLsh _),
     "q_ann_ivf" -> (Queries.qAnnIvf _),
@@ -190,6 +196,8 @@ object SparkEntry {
       "q_zonal_stats" -> Oracles.zonalStats,
       "q_interpolate_na" -> Oracles.interpolateNa,
       "q_interpolate_na_linear" -> Oracles.interpolateNaLinear,
+      "q_complex_abs" -> Oracles.complexAbs,
+      "q_complex_cross_power" -> Oracles.complexCrossPower,
       "q_band_pivot" -> Oracles.bandPivot,
       "q_cell_index" -> Oracles.cellIndex,
       "q_cell_index_s2" -> Oracles.cellIndexS2,
@@ -206,6 +214,10 @@ object SparkEntry {
       "q_dedup_jaccard" -> Oracles.dedupJaccard,
       "q_dedup_minhash_lsh" -> Oracles.dedupMinhashLsh,
       "q_dedup_simhash" -> Oracles.dedupSimhash,
+      "q_dedup_clusters" -> Oracles.dedupClusters,
+      "q_decontaminate" -> Oracles.decontaminate,
+      "q_sample_stratified" -> Oracles.sampleStratified,
+      "q_pack_sequences" -> Oracles.packSequences,
       "q_ann_topk" -> Oracles.annTopk,
       "q_ann_lsh" -> Oracles.annLsh,
       "q_ann_ivf" -> Oracles.annIvf,

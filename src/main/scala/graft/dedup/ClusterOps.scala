@@ -1,0 +1,107 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn near-duplicate PAIRS (the output of
+  * MinHash-LSH / SimHash / exact-substring candidate verification) into
+  * duplicate CLUSTERS with one canonical keeper per cluster — the step a
+  * training-data pipeline actually acts on (keep one document per cluster,
+  * drop the rest). Pair emission alone under-deduplicates: near-duplicate
+  * similarity is not transitive, so a~b and b~c often arrive without a~c,
+  * and only the connected component of the pair graph names the full group
+  * (cf. the dedup pipeline structure in Lee et al. 2022, arXiv:2107.06499).
+  *
+  * Algorithm: distributed min-label propagation to fixpoint — every vertex
+  * repeatedly takes the minimum label over itself and its neighbors. The
+  * fixpoint labels every vertex with the minimum doc_id reachable from it,
+  * which is schedule- and partitioning-independent: the result is exactly
+  * "component representative = smallest member", so the DuckDB oracle can
+  * state it independently as min-over-transitive-closure (recursive CTE).
+  *
+  * Scale shape (100 TB): each round is ONE equi-join of the symmetrized
+  * edge list against the current labels plus one map-side-combinable min
+  * aggregate — no cartesian anywhere. The edge list is shuffled to its
+  * join partitioning ONCE and persisted (InMemoryTableScan preserves
+  * outputPartitioning, so later rounds exchange only the label side, which
+  * is |V| rows, not |E|). Rounds = component diameter; duplicate-cluster
+  * graphs are near-cliques of bounded size, so a handful of rounds
+  * suffices (for adversarial long-chain graphs the alternating
+  * large-star/small-star variant of Kiveris et al. 2014 bounds rounds by
+  * O(log^2 n); diameter is the honest bound for this graph family and
+  * keeps the kernel one join + one aggregate). Each round's labels are
+  * localCheckpoint'ed: iterative DataFrame loops otherwise accrete a plan
+  * per round and re-execute the whole lineage every round. Convergence is
+  * detected by the label-sum invariant: labels only ever decrease, so
+  * sum(label) is strictly decreasing until the fixpoint — one scalar
+  * aggregate per round, no driver-side data motion. */
+object ClusterOps {
+
+  val MaxRounds = 50
+
+  /** Connected components of an undirected pair list (`doc_a`, `doc_b`).
+    * Returns (doc_id, cluster) for every vertex that appears in a pair,
+    * cluster = min doc_id of the component. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val nextSum = next.agg(sum("label")).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $MaxRounds rounds")
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
+  /** Duplicate clusters with canonical-keeper selection over a pair list:
+    * (doc_id, cluster, n_docs, is_keeper). The keeper is the cluster's
+    * minimum doc_id (= the cluster label), the convention exact dedup
+    * already uses for its group keeper. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val lab = connectedComponents(pairs)
+    val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+    lab.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("n_docs"),
+        when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
+  }
+
+  /** DuckDB mirror of [[dupClusters]]: min over the transitive closure via
+    * a recursive CTE — an INDEPENDENT statement of the same fixpoint (the
+    * oracle never sees the propagation schedule). `pairsSql` may itself be
+    * a full WITH...SELECT statement (it is wrapped as a subquery). */
+  def dupClustersSql(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($pairsSql) t),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |verts AS (SELECT DISTINCT src AS id FROM e),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM verts
+       |  UNION
+       |  SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+       |lab AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster, count(*) AS n_docs FROM lab GROUP BY 1)
+       |SELECT doc_id, lab.cluster, n_docs,
+       |  CASE WHEN doc_id = lab.cluster THEN 1 ELSE 0 END AS is_keeper
+       |FROM lab JOIN sz ON lab.cluster = sz.cluster
+       |ORDER BY doc_id""".stripMargin
+}

@@ -288,8 +288,12 @@ object DedupOps {
     * disagree with Spark's per-row sequence on long documents. */
   val MaxWindowOff = 16368
 
-  def substringDupWindows(docs: DataFrame, window: Int = 64,
-                          stride: Int = 16): DataFrame =
+  /** (doc_id, wh) rows: the hash of every length-`window` character window
+    * at `stride` spacing, offsets clamped to [[MaxWindowOff]] identically
+    * in both engines. The shared primitive of exact-substring dedup and
+    * benchmark decontamination. */
+  def windowHashes(docs: DataFrame, window: Int = 64,
+                   stride: Int = 16): DataFrame =
     docs
       .select(col("doc_id"),
         explode(sequence(lit(0),
@@ -299,6 +303,17 @@ object DedupOps {
       .select(col("doc_id"),
         conv(substring(md5(col("text").substr(col("off") + 1, lit(window))
           .cast("binary")), 1, 8), 16, 10).cast("long").as("wh"))
+
+  def windowHashesSql(table: String, window: Int = 64,
+                      stride: Int = 16): String =
+    s"""SELECT doc_id,
+       |    ('0x' || substr(md5(substr(text, o.o + 1, $window)), 1, 8))::BIGINT AS wh
+       |  FROM $table t, generate_series(0, $MaxWindowOff, $stride) o(o)
+       |  WHERE o.o <= LEAST($MaxWindowOff, GREATEST(0, length(t.text) - $window))""".stripMargin
+
+  def substringDupWindows(docs: DataFrame, window: Int = 64,
+                          stride: Int = 16): DataFrame =
+    windowHashes(docs, window, stride)
       .groupBy("wh")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_windows"),
            min("doc_id").as("first_doc"))
@@ -312,12 +327,43 @@ object DedupOps {
   def substringDupWindowsSql(table: String, window: Int = 64,
                              stride: Int = 16): String =
     s"""WITH w AS (
-       |  SELECT doc_id,
-       |    ('0x' || substr(md5(substr(text, o.o + 1, $window)), 1, 8))::BIGINT AS wh
-       |  FROM $table t, generate_series(0, $MaxWindowOff, $stride) o(o)
-       |  WHERE o.o <= LEAST($MaxWindowOff, GREATEST(0, length(t.text) - $window)))
+       |  ${windowHashesSql(table, window, stride)})
        |SELECT wh, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_windows,
        |  MIN(doc_id) AS first_doc
        |FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
        |ORDER BY wh""".stripMargin
+
+  // ---- benchmark decontamination ------------------------------------------
+
+  /** Benchmark decontamination: flag every training document that shares a
+    * verbatim length-`window` substring with any document of a held-out
+    * benchmark set — the standard eval-contamination sweep run before
+    * pretraining (same verbatim-overlap class as Lee et al. 2022; the
+    * benchmark here is the deterministic id slice `doc_id % benchMod = 0`).
+    * Output: (doc_id, n_hits = distinct shared window hashes, n_windows =
+    * matched window instances) per contaminated training document.
+    *
+    * Scale shape: the benchmark window set is small (eval suites are MBs
+    * against a 100-TB corpus), so it rides a BROADCAST semi-join — the
+    * training side streams map-only through scan -> explode -> hash ->
+    * broadcast-probe with no shuffle before the per-doc aggregate. */
+  def contaminatedDocs(docs: DataFrame, benchMod: Long = 35,
+                       window: Int = 64, stride: Int = 16): DataFrame = {
+    val w = windowHashes(docs, window, stride)
+    val bench = w.filter(col("doc_id") % benchMod === 0).select("wh").distinct()
+    w.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "wh")
+      .groupBy("doc_id")
+      .agg(countDistinct("wh").as("n_hits"), count(lit(1)).as("n_windows"))
+  }
+
+  def contaminatedDocsSql(table: String, benchMod: Long = 35,
+                          window: Int = 64, stride: Int = 16): String =
+    s"""WITH w AS (
+       |  ${windowHashesSql(table, window, stride)}),
+       |bench AS (SELECT DISTINCT wh FROM w WHERE doc_id % $benchMod = 0)
+       |SELECT doc_id, COUNT(DISTINCT w.wh) AS n_hits, COUNT(*) AS n_windows
+       |FROM w JOIN bench ON w.wh = bench.wh
+       |WHERE doc_id % $benchMod <> 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

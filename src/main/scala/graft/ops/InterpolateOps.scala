@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * equi-join over the geometrically-shrinking remainder), so EVERY missing
   * pixel fills — matching the reference's scipy.griddata, which interpolates
   * the whole grid (raster_array.py:895-915) — without ever paying a
-  * cross-join. linear/cubic variants need global triangulation — documented
-  * out of scope for v1 (SURVEY §7.4). */
+  * cross-join. The linear variant below uses the same distributed shape
+  * with a documented deterministic triangulation; cubic stays excluded
+  * with cause (SURVEY §7.4). */
 object InterpolateOps {
 
   def interpolateNaNearest(r: Raster, bucket: Int = 4): Raster = {

@@ -1,23 +1,34 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate: read each query's parquet
 dump from Verify, run its oracle SQL in DuckDB over the sf tables, sort by
-all columns, and compare. Usage: check_oracle.py <outDir> <sfDir>"""
+all columns, and compare.
+Usage: check_oracle.py <outDir> <sfDir> [q1,q2,...]
+The optional third arg restricts the sweep (mirrors Verify's filter arg);
+DUCKDB_MEM / DUCKDB_THREADS bound the oracle engine so a heavy oracle
+degrades to an error instead of swapping the host."""
 import sys, os, json, glob
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 con = duckdb.connect()
+con.execute(f"SET memory_limit='{os.environ.get('DUCKDB_MEM', '24GB')}'")
+con.execute(f"SET threads={os.environ.get('DUCKDB_THREADS', '16')}")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):  # spark-written table: a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
+    if only is not None and name not in only:
+        continue
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         print(f"[MISS] {name}: no spark output"); fails += 1; continue
