@@ -373,6 +373,8 @@ object Oracles {
   def decontaminate: String = graft.dedup.DedupOps.contaminatedDocsSql(dedupCorpusSql)
   def sampleStratified: String = graft.text.CurationOps.stratifiedSampleSql("documents")
   def packSequences: String = graft.text.CurationOps.packSequencesSql("documents", 512)
+  def repetitionMetrics: String = graft.text.CurationOps.repetitionMetricsSql("documents")
+  def domainCap: String = graft.text.CurationOps.domainCapSql("documents", 20)
   def annTopk: String = graft.ann.AnnOps.bruteForceTopKSql(
     s"SELECT * FROM ($embCastSql) WHERE vec_id % 25 = 0", embCastSql, 10)
   def annLsh: String = graft.ann.AnnOps.lshTopKSql(embCastSql, 5)

@@ -685,6 +685,19 @@ object Queries {
     graft.text.CurationOps.packSequences(documents(spark, sfDir), budget = 512)
       .orderBy("doc_id")
 
+  /** Gopher-class within-document repetition metrics (dup-token fraction,
+    * top-bigram mass) — exact counts, per-doc-keyed shuffles only. */
+  def qRepetitionMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.CurationOps.repetitionMetrics(documents(spark, sfDir))
+      .orderBy("doc_id")
+
+  /** Per-domain cap: at most 20 docs per source in deterministic hash
+    * order (WindowGroupLimit pre-prunes before the shuffle; 20 binds at
+    * every test scale — sf0.01 has 25 docs/source). */
+  def qDomainCap(spark: SparkSession, sfDir: String): DataFrame =
+    graft.text.CurationOps.domainCap(documents(spark, sfDir), cap = 20)
+      .orderBy("doc_id")
+
   def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     graft.text.TextOps.tokenCounts(documents(spark, sfDir)).orderBy("doc_id")
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,17 +19,20 @@ import org.apache.spark.sql.functions._
   *    task. */
 object CurationOps {
 
-  /** Deterministic hash bucket in [0, mod) keyed on doc_id — md5-derived
-    * like every cross-engine hash in this engine, so sampling is
-    * reproducible run-over-run, engine-over-engine, and stable under
-    * repartitioning (the property production pipelines need from a
-    * sampling key: adding data never changes whether an existing document
-    * is kept). */
-  def hashBucket(mod: Int) =
+  /** Deterministic md5-derived ordering key on doc_id — the shared
+    * primitive of hash-bucket sampling and per-domain capping: reproducible
+    * run-over-run, engine-over-engine, and stable under repartitioning
+    * (the property production pipelines need from a sampling key: adding
+    * data never changes whether an existing document is kept). */
+  def hashKey: Column =
     conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long") % mod
-  def hashBucketSql(mod: Int): String =
-    s"('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $mod"
+      .cast("long")
+  def hashKeySql: String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+  /** Deterministic hash bucket in [0, mod) keyed on doc_id. */
+  def hashBucket(mod: Int): Column = hashKey % mod
+  def hashBucketSql(mod: Int): String = s"$hashKeySql % $mod"
 
   /** Per-language keep-rates (percent) for the stratified sample: a
     * down/up-weighting profile of the kind pretraining mixes use. */
@@ -106,6 +109,102 @@ object CurationOps {
         (expr(s"(cum - 1) div $budget") -
           expr(s"(cum - n_tokens) div $budget") + 1).as("n_chunks"))
   }
+
+  /** Shared per-document token cap for the repetition metrics — like
+    * [[graft.dedup.DedupOps.MaxWindowOff]], a constant that must bind
+    * IDENTICALLY in the Spark pipeline and the SQL mirror (the mirror
+    * enumerates positions from a constant series, so an "ample" constant
+    * that Spark doesn't also apply would silently diverge on long docs). */
+  val MaxDocTokens = 4096
+
+  /** Within-document repetition metrics — the Gopher/MassiveText class of
+    * repetition quality filters (Rae et al. 2021, arXiv:2112.11446,
+    * App. A1.1), word-level: duplicate-token fraction and most-frequent-
+    * bigram mass. Exact integer counts; the two fractions are single IEEE
+    * divisions of exact integers (bit-identical across engines).
+    *
+    * Scale shape (100 TB): tokens explode map-only from the scan; all
+    * downstream work is two map-side-combinable hash aggregates plus one
+    * per-document window (lead) — everything keyed on doc_id, so AQE plans
+    * one doc_id shuffle reused across the window and both aggregates;
+    * nothing global, nothing quadratic. */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(slice(TextOps.tokens(col("text")), 1, MaxDocTokens))
+          .as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+    val tokStats = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("tok").as("n_distinct"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = toks.withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bg"))
+    val bgStats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("n_bigrams"), max("cnt").as("top_bigram"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("top_bigram").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+  }
+
+  /** DuckDB mirror of [[repetitionMetrics]] — positions from a constant
+    * series bounded by the SAME [[MaxDocTokens]] cap Spark applies. */
+  def repetitionMetricsSql(table: String): String =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM $table),
+       |tok AS (SELECT doc_id, o.o AS pos, toks[o.o + 1] AS tok
+       |  FROM t, generate_series(0, ${MaxDocTokens - 1}) o(o)
+       |  WHERE o.o < LEAST(len(toks), $MaxDocTokens) AND toks[o.o + 1] <> ''),
+       |ts AS (SELECT doc_id, count(*) AS n_tokens,
+       |    count(DISTINCT tok) AS n_distinct FROM tok GROUP BY 1),
+       |bgp AS (SELECT doc_id, pos, tok,
+       |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM tok),
+       |bgc AS (SELECT doc_id, tok || ' ' || nxt AS bg, count(*) AS cnt
+       |  FROM bgp WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+       |    max(cnt) AS top_bigram FROM bgc GROUP BY 1)
+       |SELECT ts.doc_id, n_tokens, n_distinct,
+       |  CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(top_bigram, 0) AS top_bigram,
+       |  CASE WHEN COALESCE(n_bigrams, 0) = 0 THEN 0.0
+       |       ELSE CAST(top_bigram AS DOUBLE) / n_bigrams END AS top_bigram_frac
+       |FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  /** Per-domain document cap: keep at most `cap` documents per source,
+    * chosen by the deterministic [[hashKey]] order (doc_id tie-break) — the
+    * domain-balancing step of web-corpus curation (cf. the per-domain
+    * down-weighting in C4/MassiveText-style pipelines): no single crawled
+    * host may dominate the mix, and the kept set is stable as the crawl
+    * grows.
+    *
+    * Scale shape (100 TB): declared as `row_number over (partition by
+    * source) <= cap`, which Spark 4 rewrites to WindowGroupLimit — a
+    * per-partition bounded top-`cap` BEFORE the shuffle, then a bounded
+    * merge per key after it — so a skewed giant domain never sorts its full
+    * row set; map-side output is at most `cap` rows per (partition, source)
+    * (asserted by the plan audit). */
+  def domainCap(docs: DataFrame, cap: Int = 50): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(hashKey.asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+  }
+
+  def domainCapSql(table: String, cap: Int = 50): String =
+    s"""WITH r AS (SELECT doc_id, source,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $hashKeySql, doc_id) AS rk
+       |  FROM $table)
+       |SELECT doc_id, source, rk FROM r WHERE rk <= $cap
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[packSequences]]: the same stream arithmetic stated
     * as one cumulative window (the oracle need not be distributed). */

@@ -65,6 +65,49 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("repetition metrics: hand-computed fractions, single-token and " +
+       "empty docs, partitioning-independent") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),          // 4 tokens, 1 distinct; bigram "a a" x3
+      (2L, "w x y z"),          // no dup tokens; 3 distinct bigrams
+      (3L, "solo"),             // one token -> zero bigrams
+      (4L, ""),                 // no tokens -> no output row
+      (5L, "p q p q p")         // "p q" x2 + "q p" x2 of 4 bigrams
+    ).toDF("doc_id", "text")
+    val got = CurationOps.repetitionMetrics(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    assert(got(1L) == ((4L, 1L, 0.75, 3L, 3L, 1.0)))
+    assert(got(2L) == ((4L, 4L, 0.0, 3L, 1L, 1.0 / 3)))
+    assert(got(3L) == ((1L, 1L, 0.0, 0L, 0L, 0.0)))
+    assert(got(5L) == ((5L, 2L, 0.6, 4L, 2L, 0.5)))
+    val re = CurationOps.repetitionMetrics(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    assert(re == got.map { case (k, v) => k -> v._6 })
+  }
+
+  test("domain cap: at most cap docs per source, deterministic, and the " +
+       "plan pre-prunes via WindowGroupLimit") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i =>
+      (i, s"text $i", if (i < 250) "bighost.example" else s"host${i % 7}"))
+      .toDF("doc_id", "text", "source")
+    val capped = CurationOps.domainCap(d, cap = 5)
+    val rows = capped.collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc("bighost.example").length == 5)
+    assert(bySrc.values.forall(_.length <= 5))
+    assert(rows.forall(_._3 <= 5))
+    val again = CurationOps.domainCap(d.repartition(11), cap = 5)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(2))).toSet
+    assert(again == rows.toSet, "cap selection must be partitioning-independent")
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter must push a WindowGroupLimit pre-prune; plan:\n$plan")
+  }
+
   test("decontamination flags exactly the docs sharing a 64-char window " +
        "with the benchmark slice") {
     import spark.implicits._
