@@ -52,7 +52,19 @@ object ClusterOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    // empty pair graph: no vertices, no components — return the empty
+    // frame rather than reading a NULL scalar aggregate below
+    if (labels.isEmpty) {
+      sym.unpersist()
+      return labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    }
+    // convergence invariant: labels only decrease, so sum(label) strictly
+    // decreases until the fixpoint. Summed as DECIMAL(38,0): a Long sum
+    // overflows (and throws, under ANSI) at ~1e9 vertices with ~1e10 ids —
+    // exactly the advertised scale
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {
@@ -61,15 +73,16 @@ object ClusterOps {
       val next = labels.unionByName(msgs)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint()
-      val nextSum = next.agg(sum("label")).head().getLong(0)
-      converged = nextSum == prevSum
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels.unpersist()
       labels = next
       round += 1
     }
-    require(converged, s"connectedComponents did not converge in $MaxRounds rounds")
     sym.unpersist()
+    if (!converged) labels.unpersist() // don't leak the checkpoint on failure
+    require(converged, s"connectedComponents did not converge in $MaxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 

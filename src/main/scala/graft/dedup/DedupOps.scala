@@ -14,26 +14,36 @@ import org.apache.spark.sql.functions._
   * engines compute bit-identical values. */
 object DedupOps {
 
+  /** THE cross-engine hash primitive: first 8 md5 hex chars of the operand
+    * as a BIGINT. Every derived key in the engine (shingles, simhash,
+    * substring windows, sampling/ordering keys) goes through this one
+    * (Column, SQL-text) pair so the Spark/DuckDB equivalence —
+    * `conv(substring(md5(x),1,8),16,10)` == `('0x'||substr(md5(x),1,8))::
+    * BIGINT` — is asserted in exactly one place. */
+  def md5Key(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  def md5KeySql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
   /** trigram set as (doc_id, sh_hash) rows; sh_hash = first 8 md5 hex chars
     * as BIGINT. Distinct per doc. */
   def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
-    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val norm = lower(regexp_replace(trim(col("text")), TextOps.WsClass, " "))
     docs.select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), greatest(lit(1), length(col("t")) - (n - 1))),
           i => col("t").substr(i, lit(n)))).as("sh"))
-      .select(col("doc_id"), conv(substring(md5(col("sh").cast("binary")), 1, 8), 16, 10)
-        .cast("long").as("sh_hash"))
+      .select(col("doc_id"), md5Key(col("sh")).as("sh_hash"))
       .distinct()
   }
 
   def shingleHashesSql(table: String, n: Int = 3): String =
     s"""SELECT DISTINCT doc_id,
-       |  ('0x' || substr(md5(sh), 1, 8))::BIGINT AS sh_hash
+       |  ${md5KeySql("sh")} AS sh_hash
        |FROM (
        |  SELECT doc_id, unnest([substr(t, i, $n)
        |           FOR i IN generate_series(1, greatest(1, length(t) - ${n - 1}))]) AS sh
-       |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+       |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '${TextOps.WsClass}', ' ', 'g')) AS t
        |        FROM $table))""".stripMargin
 
   // ---- exact dedup ---------------------------------------------------------
@@ -189,7 +199,7 @@ object DedupOps {
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(TextOps.tokens(lower(col("text")))).as("w"))
-      .withColumn("h", conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h", md5Key(col("w")))
     val bitSums = (0 until SimhashBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1L) * 2L - 1L).as(s"s$b")
     }
@@ -209,7 +219,7 @@ object DedupOps {
     }.mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id,
-       |    ('0x' || substr(md5(unnest(${TextOps.tokensSql("lower(text)")})), 1, 8))::BIGINT AS h
+       |    ${md5KeySql(s"unnest(${TextOps.tokensSql("lower(text)")})")} AS h
        |  FROM $table),
        |sums AS (SELECT doc_id, $bitSums FROM tok GROUP BY 1)
        |SELECT doc_id, $fp AS simhash FROM sums ORDER BY doc_id""".stripMargin
@@ -301,13 +311,12 @@ object DedupOps {
             greatest(lit(0), length(col("text")) - window)), lit(stride))).as("off"),
         col("text"))
       .select(col("doc_id"),
-        conv(substring(md5(col("text").substr(col("off") + 1, lit(window))
-          .cast("binary")), 1, 8), 16, 10).cast("long").as("wh"))
+        md5Key(col("text").substr(col("off") + 1, lit(window))).as("wh"))
 
   def windowHashesSql(table: String, window: Int = 64,
                       stride: Int = 16): String =
     s"""SELECT doc_id,
-       |    ('0x' || substr(md5(substr(text, o.o + 1, $window)), 1, 8))::BIGINT AS wh
+       |    ${md5KeySql(s"substr(text, o.o + 1, $window)")} AS wh
        |  FROM $table t, generate_series(0, $MaxWindowOff, $stride) o(o)
        |  WHERE o.o <= LEAST($MaxWindowOff, GREATEST(0, length(t.text) - $window))""".stripMargin
 

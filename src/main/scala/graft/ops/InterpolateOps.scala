@@ -135,7 +135,10 @@ object InterpolateOps {
     val maxDim = math.max(r.grid.width, r.grid.height)
     val validBase = r.df.filter(col("value") =!= nd)
       .select(col("row").as("v_row"), col("col").as("v_col"), col("value").as("v_value"))
-    if (validBase.isEmpty) return r
+    // all-nodata: nothing to interpolate from, but keep the double-typed
+    // value column every other path (and the SQL mirror) produces
+    if (validBase.isEmpty)
+      return Raster(r.df.withColumn("value", col("value").cast("double")), r.grid)
     val missing = r.df.filter(col("value") === nd).select("row", "col", "x", "y")
 
     val ringOffsets = array((-1 to 1).flatMap(dr => (-1 to 1).map(dc =>

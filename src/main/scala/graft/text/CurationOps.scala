@@ -24,11 +24,8 @@ object CurationOps {
     * run-over-run, engine-over-engine, and stable under repartitioning
     * (the property production pipelines need from a sampling key: adding
     * data never changes whether an existing document is kept). */
-  def hashKey: Column =
-    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
-  def hashKeySql: String =
-    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+  def hashKey: Column = graft.dedup.DedupOps.md5Key(col("doc_id").cast("string"))
+  def hashKeySql: String = graft.dedup.DedupOps.md5KeySql("CAST(doc_id AS VARCHAR)")
 
   /** Deterministic hash bucket in [0, mod) keyed on doc_id. */
   def hashBucket(mod: Int): Column = hashKey % mod
@@ -88,7 +85,13 @@ object CurationOps {
     val toks = TextOps.tokenCounts(docs)
       .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
       .filter(col("n_tokens") > 0)
-    val maxId = toks.agg(max("doc_id")).head().getLong(0)
+    val maxIdRow = toks.agg(max("doc_id")).head()
+    // empty stream (no docs, or all zero-token): empty packing, same schema
+    if (maxIdRow.isNullAt(0))
+      return toks.select(col("doc_id"), col("n_tokens"),
+        lit(0L).as("tok_start"), lit(0L).as("chunk_first"),
+        lit(0L).as("chunk_last"), lit(0L).as("n_chunks"))
+    val maxId = maxIdRow.getLong(0)
     val span = maxId / buckets + 1
     val bucketed = toks.withColumn("bkt", expr(s"doc_id div $span"))
     val w = Window.partitionBy("bkt").orderBy("doc_id")
@@ -156,7 +159,7 @@ object CurationOps {
   /** DuckDB mirror of [[repetitionMetrics]] — positions from a constant
     * series bounded by the SAME [[MaxDocTokens]] cap Spark applies. */
   def repetitionMetricsSql(table: String): String =
-    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '${TextOps.WsClass}') AS toks
        |  FROM $table),
        |tok AS (SELECT doc_id, o.o AS pos, toks[o.o + 1] AS tok
        |  FROM t, generate_series(0, ${MaxDocTokens - 1}) o(o)

@@ -9,9 +9,14 @@ import org.apache.spark.sql.functions._
   * textually-mirrored DuckDB oracle. */
 object TextOps {
 
-  /** Whitespace tokens of trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
-  def tokensSql(e: String): String = s"regexp_split_to_array(trim($e), '\\s+')"
+  /** Whitespace tokens of trimmed text. The separator class is spelled
+    * explicitly — exactly Java's ASCII \s — because Java \s and RE2 \s
+    * disagree on \x0B (the same cross-engine trap [[BpeTokenRegex]]
+    * documents); the explicit class makes Spark and DuckDB split
+    * identically on any input. */
+  val WsClass: String = "[ \\t\\n\\r\\f\\x0B]+"
+  def tokens(text: Column): Column = split(trim(text), WsClass)
+  def tokensSql(e: String): String = s"regexp_split_to_array(trim($e), '$WsClass')"
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -120,9 +125,9 @@ object TextOps {
   /** md5 fingerprint of whitespace-normalized lowercase text (exact-dedup
     * key; document fingerprinting). */
   def fingerprint(text: Column): Column =
-    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+    md5(lower(regexp_replace(trim(text), WsClass, " ")).cast("binary"))
   def fingerprintSql(e: String): String =
-    s"md5(lower(regexp_replace(trim($e), '\\s+', ' ', 'g')))"
+    s"md5(lower(regexp_replace(trim($e), '$WsClass', ' ', 'g')))"
 
   /** 64-bit polynomial rolling hash (Rabin-Karp) of the text — per-char loop,
     * implemented as a custom codegen'd Catalyst expression. */

@@ -40,6 +40,11 @@ class ClusterOpsSpec extends SparkTestBase {
     assert(one.toMap.apply(12L) == 5L, "5-12 edge must bridge the 10-11-12 chain")
   }
 
+  test("an empty pair list yields an empty result, not a crash") {
+    assert(ClusterOps.connectedComponents(pairsDf(Seq.empty)).count() == 0)
+    assert(ClusterOps.dupClusters(pairsDf(Seq.empty)).count() == 0)
+  }
+
   test("dupClusters emits sizes and exactly one keeper per cluster") {
     val d = ClusterOps.dupClusters(pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L))))
       .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3)))

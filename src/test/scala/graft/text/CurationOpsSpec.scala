@@ -55,6 +55,25 @@ class CurationOpsSpec extends SparkTestBase {
       "bucket count must not change the packing")
   }
 
+  test("packSequences of an empty/zero-token corpus is empty, same schema") {
+    import spark.implicits._
+    val zero = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = CurationOps.packSequences(zero)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "n_tokens", "tok_start",
+      "chunk_first", "chunk_last", "n_chunks"))
+  }
+
+  test("tokenization splits on \\x0B identically to the SQL mirror's class") {
+    import spark.implicits._
+    // Java \s and RE2 \s disagree on \x0B; the explicit WsClass must split
+    val d = Seq((1L, "alpha\u000Bbeta gamma")).toDF("doc_id", "text")
+    val m = CurationOps.repetitionMetrics(d).collect()(0)
+    assert(m.getLong(1) == 3L, "vertical tab must separate tokens")
+    assert(TextOps.WsClass.contains("\\x0B"))
+    assert(CurationOps.repetitionMetricsSql("documents").contains("\\x0B"))
+  }
+
   test("packSequences chunk spans tile the stream: consecutive docs abut") {
     val rows = CurationOps.packSequences(docs(), budget = 512)
       .orderBy("doc_id").collect()

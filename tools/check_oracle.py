@@ -25,6 +25,10 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+if only is not None:
+    unknown = only - set(oracle)
+    if unknown:  # a typo'd filter must not read as a green (vacuous) run
+        print("[BADFILTER] unknown queries:", sorted(unknown)); sys.exit(2)
 fails = 0
 for name, sql in sorted(oracle.items()):
     if only is not None and name not in only:
