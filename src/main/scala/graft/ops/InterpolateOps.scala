@@ -144,9 +144,42 @@ object InterpolateOps {
     val ringOffsets = array((-1 to 1).flatMap(dr => (-1 to 1).map(dc =>
       struct(lit(dr.toLong).as("dr"), lit(dc.toLong).as("dc")))): _*)
 
-    // (pixel, quadrant) escalation: quad 0=NW 1=NE 2=SW 3=SE
+    // Quadrant-emptiness pre-filter (dominance): NW(r,c) is nonempty iff
+    // some valid pixel dominates it — min over rows <= r of that row's min
+    // valid col is <= c (and symmetrically for the other three). Computed
+    // from per-ROW extremes (grid-height rows, not pixels) with four
+    // running-extreme windows, it prunes provably-empty (pixel, quadrant)
+    // work UP FRONT: without it, every hull-edge quadrant escalates the
+    // ring search all the way to maxDim just to PROVE emptiness, which
+    // made empty-quadrant proof the dominant round count. The windows are
+    // per-raster (partition by raster id when frames carry several).
+    val spark = r.df.sparkSession
+    val rowStats = validBase.groupBy(col("v_row").as("rr"))
+      .agg(min("v_col").as("mn"), max("v_col").as("mx"))
+    val allRows = spark.range(r.grid.height).select(col("id").as("rr"))
+      .join(rowStats, Seq("rr"), "left")
+    val wUp = Window.orderBy(col("rr").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDn = Window.orderBy(col("rr").desc)
+      .rowsBetween(Window.unboundedPreceding, -1) // strictly below rr
+    val dom = allRows.select(col("rr"),
+      min("mn").over(wUp).as("up_min"), max("mx").over(wUp).as("up_max"),
+      min("mn").over(wDn).as("dn_min"), max("mx").over(wDn).as("dn_max"))
+    val quadNonempty =
+      (col("quad") === 0 && col("up_min").isNotNull && col("up_min") <= col("col")) ||
+      (col("quad") === 1 && col("up_max").isNotNull && col("up_max") >  col("col")) ||
+      (col("quad") === 2 && col("dn_min").isNotNull && col("dn_min") <= col("col")) ||
+      (col("quad") === 3 && col("dn_max").isNotNull && col("dn_max") >  col("col"))
+
+    // (pixel, quadrant) escalation: quad 0=NW 1=NE 2=SW 3=SE; only
+    // nonempty quadrants enter (each is then guaranteed to settle at
+    // b >= its neighbor distance, so the loop drains without the
+    // prove-empty final round)
     var remaining = missing.select(col("row"), col("col"))
       .withColumn("quad", explode(array((0 to 3).map(q => lit(q)): _*)))
+      .join(broadcast(dom), col("row") === col("rr"))
+      .filter(quadNonempty)
+      .select("row", "col", "quad")
       .persist()
     var winners: DataFrame = null
     var b = bucket max 1
