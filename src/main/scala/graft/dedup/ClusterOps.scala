@@ -39,6 +39,22 @@ object ClusterOps {
 
   val MaxRounds = 50
 
+  /** Eagerly localCheckpoint `df` and hand back a releaser for its blocks.
+    * Dataset.unpersist() does NOT free a localCheckpoint (the checkpoint
+    * persists its RDD directly, outside the CacheManager), so an iterative
+    * loop would accrete one |V|-row block set per round until GC +
+    * ContextCleaner got around to them. The releaser diffs the persistent-
+    * RDD registry around the (eager) checkpoint — safe here because the
+    * loop is the session's only activity between the two reads. */
+  private def checkpointWithRelease(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint()
+    val added = sc.getPersistentRDDs.keySet -- before
+    (cp, () => added.foreach(id =>
+      sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
+  }
+
   /** Connected components of an undirected pair list (`doc_a`, `doc_b`).
     * Returns (doc_id, cluster) for every vertex that appears in a pair,
     * cluster = min doc_id of the component. */
@@ -49,9 +65,9 @@ object ClusterOps {
       .distinct()
       .repartition(col("src"))
       .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+    var (labels, releaseLabels) = checkpointWithRelease(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     // empty pair graph: no vertices, no components — return the empty
     // frame rather than reading a NULL scalar aggregate below
     if (labels.isEmpty) {
@@ -70,18 +86,18 @@ object ClusterOps {
     while (!converged && round < MaxRounds) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
+      val (next, releaseNext) = checkpointWithRelease(
+        labels.unionByName(msgs).groupBy("id").agg(min("label").as("label")))
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
+      releaseLabels() // previous round's checkpoint blocks
       labels = next
+      releaseLabels = releaseNext
       round += 1
     }
     sym.unpersist()
-    if (!converged) labels.unpersist() // don't leak the checkpoint on failure
+    if (!converged) releaseLabels() // don't leak the checkpoint on failure
     require(converged, s"connectedComponents did not converge in $MaxRounds rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }

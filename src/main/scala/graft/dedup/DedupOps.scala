@@ -19,9 +19,13 @@ object DedupOps {
     * substring windows, sampling/ordering keys) goes through this one
     * (Column, SQL-text) pair so the Spark/DuckDB equivalence —
     * `conv(substring(md5(x),1,8),16,10)` == `('0x'||substr(md5(x),1,8))::
-    * BIGINT` — is asserted in exactly one place. */
+    * BIGINT` — is asserted in exactly one place.
+    * The operand contract is a STRING (DuckDB md5 takes VARCHAR): md5Key
+    * stringifies defensively so a non-string Column hashes its decimal
+    * text — the same bytes `md5KeySql("CAST(x AS VARCHAR)")` sees — never
+    * its raw binary encoding. */
   def md5Key(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10).cast("long")
   def md5KeySql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 

@@ -29,7 +29,11 @@ object InterpolateOps {
     val maxDim = math.max(r.grid.width, r.grid.height)
     val validBase = r.df.filter(col("value") =!= nodata)
       .select(col("row").as("v_row"), col("col").as("v_col"), col("value").as("v_value"))
-    if (validBase.isEmpty) return r // nothing to interpolate from
+    // all-nodata: nothing to interpolate from; the oracle (valid UNION
+    // filled) is empty on this input, so return the empty frame with the
+    // normal output schema rather than the untouched input
+    if (validBase.isEmpty)
+      return Raster(r.df.filter(col("value") =!= nodata), r.grid)
 
     val ringOffsets = array((-1 to 1).flatMap(dr => (-1 to 1).map(dc =>
       struct(lit(dr.toLong).as("dr"), lit(dc.toLong).as("dc")))): _*)

@@ -74,7 +74,7 @@ object TextOps {
   def tokenCountsSql(table: String): String =
     s"""SELECT doc_id,
        |  len(${tokensSql("text")}) AS n_ws_tokens,
-       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]')) AS n_bpe_tokens
+       |  len(regexp_extract_all(text, '$BpeTokenRegex')) AS n_bpe_tokens
        |FROM $table ORDER BY doc_id""".stripMargin
 
   /** Language-ID by stopword-profile hits (n-gram-heuristic family).
