@@ -370,6 +370,8 @@ object Oracles {
   def dedupSimhash: String = graft.dedup.DedupOps.simhashPairsSql(dedupCorpusSql, 3)
   def dedupClusters: String = graft.dedup.ClusterOps.dupClustersSql(
     graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5))
+  def dedupCorpus: String = graft.dedup.ClusterOps.dedupedCorpusSql(
+    corpusSliceSql, graft.dedup.DedupOps.lshPairsSql(corpusSliceSql, 16, 4, 0.5))
   def decontaminate: String = graft.dedup.DedupOps.contaminatedDocsSql(dedupCorpusSql)
   def sampleStratified: String = graft.text.CurationOps.stratifiedSampleSql("documents")
   def packSequences: String = graft.text.CurationOps.packSequencesSql("documents", 512)

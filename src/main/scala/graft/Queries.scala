@@ -666,6 +666,14 @@ object Queries {
       graft.dedup.DedupOps.lshPairs(corpusSlice(spark, sfDir), k = 16,
         bands = 4, threshold = 0.5)).orderBy("doc_id")
 
+  /** The deduplicated corpus over the LSH pair graph: keepers + unclustered
+    * docs, each with the duplicate count it stands for. */
+  def qDedupCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.ClusterOps.dedupedCorpus(
+      corpusSlice(spark, sfDir),
+      graft.dedup.DedupOps.lshPairs(corpusSlice(spark, sfDir), k = 16,
+        bands = 4, threshold = 0.5)).orderBy("doc_id")
+
   /** Benchmark decontamination: training docs sharing a verbatim 64-char
     * window with the held-out benchmark slice (doc_id % 35 = 0) of the
     * planted-duplicate corpus. */

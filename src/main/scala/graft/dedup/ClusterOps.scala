@@ -114,6 +114,30 @@ object ClusterOps {
         when(col("doc_id") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
   }
 
+  /** The deduplicated corpus — the artifact a pipeline actually writes
+    * out: every document that is not a non-keeper member of a duplicate
+    * cluster, with `n_dups` = how many documents it stands for (1 for
+    * documents in no cluster). Composes [[dupClusters]] with one anti-join
+    * and one left join, both keyed on doc_id — at 100 TB the drop list
+    * shuffles on the same key the corpus is already bucketed by. */
+  def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cl = dupClusters(pairs)
+    val drop = cl.filter(col("is_keeper") === 0L).select("doc_id")
+    val keepMeta = cl.filter(col("is_keeper") === 1L)
+      .select(col("doc_id"), col("n_docs"))
+    docs.join(drop, Seq("doc_id"), "left_anti")
+      .join(keepMeta, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_docs"), lit(1L)).as("n_dups"))
+  }
+
+  def dedupedCorpusSql(docsSql: String, pairsSql: String): String =
+    s"""WITH cl AS (${dupClustersSql(pairsSql)})
+       |SELECT d.doc_id, COALESCE(cl.n_docs, 1) AS n_dups
+       |FROM ($docsSql) d
+       |LEFT JOIN cl ON d.doc_id = cl.doc_id AND cl.is_keeper = 1
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE is_keeper = 0)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** DuckDB mirror of [[dupClusters]]: min over the transitive closure via
     * a recursive CTE — an INDEPENDENT statement of the same fixpoint (the
     * oracle never sees the propagation schedule). `pairsSql` may itself be

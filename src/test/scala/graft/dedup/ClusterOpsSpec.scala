@@ -40,6 +40,16 @@ class ClusterOpsSpec extends SparkTestBase {
     assert(one.toMap.apply(12L) == 5L, "5-12 edge must bridge the 10-11-12 chain")
   }
 
+  test("dedupedCorpus keeps keepers and unclustered docs with dup counts") {
+    import spark.implicits._
+    val docs = Seq(1L, 2L, 3L, 5L, 7L, 9L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val kept = ClusterOps.dedupedCorpus(docs, pairsDf(Seq((1L, 2L), (2L, 3L), (7L, 9L))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // clusters {1,2,3} and {7,9}: keepers 1 (n=3) and 7 (n=2); 5 unclustered
+    assert(kept == Map(1L -> 3L, 5L -> 1L, 7L -> 2L))
+  }
+
   test("an empty pair list yields an empty result, not a crash") {
     assert(ClusterOps.connectedComponents(pairsDf(Seq.empty)).count() == 0)
     assert(ClusterOps.dupClusters(pairsDf(Seq.empty)).count() == 0)
