@@ -65,9 +65,13 @@ object ClusterOps {
       .distinct()
       .repartition(col("src"))
       .persist()
+    // init = the first propagation round, fused: label(v) = min over the
+    // CLOSED neighborhood {v} ∪ N(v). One aggregate replaces the identity
+    // init's distinct PLUS the first join round (near-clique duplicate
+    // graphs then converge in a single confirming round)
     var (labels, releaseLabels) = checkpointWithRelease(
-      sym.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
+      sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("id"), least(col("src"), col("mn")).as("label")))
     // empty pair graph: no vertices, no components — return the empty
     // frame rather than reading a NULL scalar aggregate below
     if (labels.isEmpty) {

@@ -84,6 +84,27 @@ object StreamingOps {
     * streaming analog of DedupOps.exactGroups; the reference has no
     * streaming surface, SURVEY §2.7). Input: (doc_id: long, text: string)
     * streaming frame; output: (fp, doc_id) of survivors. */
+  /** Streaming benchmark decontamination: flag arriving training documents
+    * that share a verbatim 64-char window with a STATIC held-out benchmark
+    * set — the batch sweep (`DedupOps.contaminatedDocs`) as a continuous
+    * ingest gate. The stream side is a stateless projection (explode ->
+    * hash) into a stream-static equi-join against the broadcast benchmark
+    * window-hash set (eval suites are MBs; the broadcast re-plans per
+    * micro-batch), then a per-doc count. The aggregate counts matched
+    * window INSTANCES (streaming plans forbid distinct aggregation;
+    * n_windows > 0 is the decontamination signal either way). Run in
+    * Update mode — a doc's count grows only if it spans micro-batches.
+    * Input: streaming (doc_id, text); bench: static (doc_id, text). */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+                             window: Int = 64, stride: Int = 16): DataFrame = {
+    val benchHashes = graft.dedup.DedupOps.windowHashes(bench, window, stride)
+      .select("wh").distinct()
+    graft.dedup.DedupOps.windowHashes(docs, window, stride)
+      .join(broadcast(benchHashes), "wh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"))
+  }
+
   def streamingExactDedup(docs: DataFrame): Dataset[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._

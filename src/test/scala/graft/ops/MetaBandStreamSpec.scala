@@ -92,6 +92,30 @@ class MetaBandStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming decontamination: arriving docs sharing a 64-char window " +
+       "with the static benchmark set are flagged, across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val block = "S" * 80
+    val bench = Seq((1000L, s"bench doc $block tail")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingOps.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "text"), bench)
+    val q = out.writeStream.format("memory").queryName("decontstream")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, s"train doc carrying $block verbatim"),
+                    (2L, "clean doc, entirely distinct prose with no overlap"))
+      q.processAllAvailable()
+      input.addData((3L, s"later batch, also contaminated: $block x"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, n_windows from decontstream")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows.keySet == Set(1L, 3L), s"got $rows")
+      assert(rows.values.forall(_ > 0))
+    } finally q.stop()
+  }
+
   test("streaming tile assembly: tiles emit exactly once, on completion, packed like TileIO") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
