@@ -84,27 +84,6 @@ object StreamingOps {
     * streaming analog of DedupOps.exactGroups; the reference has no
     * streaming surface, SURVEY §2.7). Input: (doc_id: long, text: string)
     * streaming frame; output: (fp, doc_id) of survivors. */
-  /** Streaming benchmark decontamination: flag arriving training documents
-    * that share a verbatim 64-char window with a STATIC held-out benchmark
-    * set — the batch sweep (`DedupOps.contaminatedDocs`) as a continuous
-    * ingest gate. The stream side is a stateless projection (explode ->
-    * hash) into a stream-static equi-join against the broadcast benchmark
-    * window-hash set (eval suites are MBs; the broadcast re-plans per
-    * micro-batch), then a per-doc count. The aggregate counts matched
-    * window INSTANCES (streaming plans forbid distinct aggregation;
-    * n_windows > 0 is the decontamination signal either way). Run in
-    * Update mode — a doc's count grows only if it spans micro-batches.
-    * Input: streaming (doc_id, text); bench: static (doc_id, text). */
-  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
-                             window: Int = 64, stride: Int = 16): DataFrame = {
-    val benchHashes = graft.dedup.DedupOps.windowHashes(bench, window, stride)
-      .select("wh").distinct()
-    graft.dedup.DedupOps.windowHashes(docs, window, stride)
-      .join(broadcast(benchHashes), "wh")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"))
-  }
-
   def streamingExactDedup(docs: DataFrame): Dataset[(String, Long)] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -117,5 +96,28 @@ object StreamingOps {
           if (state.exists) Iterator.empty
           else { state.update(true); Iterator.single((fp, rows.map(_._1).min)) })
       .toDF("fp", "doc_id").as[(String, Long)]
+  }
+
+  /** Streaming benchmark decontamination: flag arriving training documents
+    * that share a verbatim 64-char window with a STATIC held-out benchmark
+    * set — the batch sweep (`DedupOps.contaminatedDocs`) as a continuous
+    * ingest gate. Deliberately STATELESS: explode -> hash on the stream
+    * side into a stream-static equi-join against the broadcast benchmark
+    * window-hash set (eval suites are MBs; the broadcast re-plans per
+    * micro-batch), emitting every matched (doc_id, wh) in append mode the
+    * moment it arrives. A document is contaminated iff it emits >= 1 row.
+    * A per-doc streaming aggregate would pin one state-store row per
+    * contaminated document FOREVER — the input (doc_id, text) carries no
+    * event-time column, so no watermark could ever evict it; counting and
+    * dedup belong in the downstream batch sink (foreachBatch), where they
+    * are a plain groupBy. Input: streaming (doc_id, text); bench: static
+    * (doc_id, text). */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+                             window: Int = 64, stride: Int = 16): DataFrame = {
+    val benchHashes = graft.dedup.DedupOps.windowHashes(bench, window, stride)
+      .select("wh").distinct()
+    graft.dedup.DedupOps.windowHashes(docs, window, stride)
+      .join(broadcast(benchHashes), "wh")
+      .select("doc_id", "wh")
   }
 }

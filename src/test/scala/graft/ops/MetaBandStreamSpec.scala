@@ -102,17 +102,20 @@ class MetaBandStreamSpec extends SparkTestBase {
     val out = StreamingOps.streamingDecontaminate(
       input.toDF().toDF("doc_id", "text"), bench)
     val q = out.writeStream.format("memory").queryName("decontstream")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       input.addData((1L, s"train doc carrying $block verbatim"),
                     (2L, "clean doc, entirely distinct prose with no overlap"))
       q.processAllAvailable()
       input.addData((3L, s"later batch, also contaminated: $block x"))
       q.processAllAvailable()
-      val rows = spark.sql("select doc_id, n_windows from decontstream")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(rows.keySet == Set(1L, 3L), s"got $rows")
-      assert(rows.values.forall(_ > 0))
+      val rows = spark.sql("select doc_id, wh from decontstream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._1).toSet == Set(1L, 3L), s"got ${rows.toSeq}")
+      assert(rows.nonEmpty)
+      // stateless: the plan carries no streaming state operator at all
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontamination gate must not accrete streaming state")
     } finally q.stop()
   }
 
