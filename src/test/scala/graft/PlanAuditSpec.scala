@@ -25,6 +25,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"unexpected cartesian products in: $offenders")
   }
 
+  test("curation scans prune to exactly the referenced document columns") {
+    val capPlan = Queries.qDomainCap(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(capPlan.contains("struct<doc_id:bigint,source:string>"),
+      s"domain cap must scan only (doc_id, source), never text:\n$capPlan")
+    val repPlan = Queries.qRepetitionMetrics(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(repPlan.contains("struct<doc_id:bigint,text:string>"),
+      s"repetition metrics must scan only (doc_id, text):\n$repPlan")
+  }
+
   test("windowed scans push their predicates into the parquet read") {
     // representative pushdown probe: the lineitem aggregate reads only its
     // group/agg columns (column pruning visible in ReadSchema)
