@@ -96,10 +96,22 @@ object AnnOps {
     // bucketColumn equivalent inlines nTables*nPlanes*dim literals into the
     // generated code — past the JIT compile threshold, the hot loop ran
     // interpreted (~30x slower end-to-end on the candidate join).
+    //
+    // r6: repartition by the (table, bucket) join key at defaultParallelism.
+    // The embedding file is one small parquet split, so without this the
+    // candidate join's dot products (the query's only real flops, ~2M pairs
+    // x dim at sf0.1) ran at scan parallelism (1-3 tasks; guide §2.5 —
+    // parallelize the compute-heavy stage). (tb, bk) is also the documented
+    // at-scale shuffle/partition key for the bucket join; the explicit
+    // partition count derives from the cluster (defaultParallelism), not a
+    // local constant, and pins AQE from coalescing the tiny-byte exchange
+    // under the compute-bound stage.
     vectors.select(col("vec_id"), col("embedding"),
         sqrt(norm2(col("embedding"))).as("nrm"),
         posexplode(graft.functions.LshBuckets.column(
           col("embedding"), nPlanes, nTables, dim)).as(Seq("tb", "bk")))
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism,
+        col("tb"), col("bk"))
 
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 8,
               dim: Int = 64): DataFrame = {

@@ -57,12 +57,21 @@ object ClusterOps {
 
   /** Connected components of an undirected pair list (`doc_a`, `doc_b`).
     * Returns (doc_id, cluster) for every vertex that appears in a pair,
-    * cluster = min doc_id of the component. */
+    * cluster = min doc_id of the component.
+    *
+    * Note on duplicate edges: the r6 optimization round removed the
+    * symmetrized list's `distinct()` — every upstream pair producer emits
+    * distinct (doc_a < doc_b) pairs, so the union of the two oriented
+    * projections is duplicate-free BY CONSTRUCTION and the distinct was a
+    * pure extra |E| exchange + aggregate (guide §2.4: a distinct on data
+    * that is already unique). Correctness does not depend on it either
+    * way: min-aggregation over a multiset equals min over its set, so a
+    * caller feeding duplicated pairs still gets exact components (only the
+    * per-round join grows with the duplication factor). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
       .repartition(col("src"))
       .persist()
     // init = the first propagation round, fused: label(v) = min over the
@@ -72,12 +81,6 @@ object ClusterOps {
     var (labels, releaseLabels) = checkpointWithRelease(
       sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src").as("id"), least(col("src"), col("mn")).as("label")))
-    // empty pair graph: no vertices, no components — return the empty
-    // frame rather than reading a NULL scalar aggregate below
-    if (labels.isEmpty) {
-      sym.unpersist()
-      return labels.select(col("id").as("doc_id"), col("label").as("cluster"))
-    }
     // convergence invariant: labels only decrease, so sum(label) strictly
     // decreases until the fixpoint. Summed as DECIMAL(38,0): a Long sum
     // overflows (and throws, under ANSI) at ~1e9 vertices with ~1e10 ids —
@@ -85,6 +88,15 @@ object ClusterOps {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
+    // empty pair graph (NULL scalar sum): no vertices, no components —
+    // the emptiness read rides the first label-sum job instead of paying
+    // a separate isEmpty action (r6: one fewer Spark job per call)
+    if (prevSum == null) {
+      sym.unpersist()
+      // labels' checkpoint blocks stay resident (the caller still reads the
+      // returned frame; a localCheckpoint cannot be recomputed once freed)
+      return labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+    }
     var round = 0
     var converged = false
     while (!converged && round < MaxRounds) {

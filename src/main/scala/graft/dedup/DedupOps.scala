@@ -29,17 +29,21 @@ object DedupOps {
   def md5KeySql(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
-  /** trigram set as (doc_id, sh_hash) rows; sh_hash = first 8 md5 hex chars
-    * as BIGINT. Distinct per doc. */
-  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** Raw (multiset) trigram hashes as (doc_id, sh_hash) rows — one md5 per
+    * window position, duplicates included (map-only from the scan). */
+  def shingleHashesRaw(docs: DataFrame, n: Int = 3): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), TextOps.WsClass, " "))
     docs.select(col("doc_id"), norm.as("t"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), greatest(lit(1), length(col("t")) - (n - 1))),
           i => col("t").substr(i, lit(n)))).as("sh"))
       .select(col("doc_id"), md5Key(col("sh")).as("sh_hash"))
-      .distinct()
   }
+
+  /** trigram set as (doc_id, sh_hash) rows; sh_hash = first 8 md5 hex chars
+    * as BIGINT. Distinct per doc. */
+  def shingleHashes(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleHashesRaw(docs, n).distinct()
 
   def shingleHashesSql(table: String, n: Int = 3): String =
     s"""SELECT DISTINCT doc_id,
@@ -130,17 +134,55 @@ object DedupOps {
 
   /** LSH banding: band signature = ordered concat of the band's minhashes;
     * candidate pairs = docs sharing any band bucket; verified by exact
-    * trigram Jaccard >= threshold. */
+    * trigram Jaccard >= threshold.
+    *
+    * r6 plan shape (values bit-identical to the r5 formulation, which the
+    * unchanged DuckDB oracle still mirrors semantically):
+    *  - the k minhashes come from ONE map-side-combinable groupBy(doc_id)
+    *    with k `min` columns instead of a k-fold crossJoin + (doc_id, k)
+    *    aggregate + a collect_list/array_sort band aggregate — two fewer
+    *    exchanges and no k-times row blowup (guide §2.3/§2.4); the band
+    *    signature concatenates the same longs in the same k order, so the
+    *    signature STRINGS are identical;
+    *  - the exact-Jaccard verify joins each candidate pair against per-doc
+    *    sorted shingle ARRAYS and counts the intersection with the codegen
+    *    array_intersect builtin, instead of a cands x shingles x shingles
+    *    join whose per-shared-shingle rows (|pairs| * |A∩B|, ~1.6M at
+    *    sf0.1) all flowed through one more exchange — shingle sets are
+    *    distinct per doc, so size(array_intersect) IS the old count(*) and
+    *    size(shs) IS the old per-doc size; the jaccard double divides the
+    *    same integers. */
   def lshPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, k)
-    val banded = sig
-      .withColumn("band", expr(s"k div $rowsPerBand"))
-      .groupBy("doc_id", "band")
-      // deterministic band signature: minhashes in k-order
-      .agg(concat_ws(",", transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-        s => s.getField("mh").cast("string"))).as("band_sig"))
+    val params = hashParams(k)
+    // ONE pass over the corpus: per-doc DISTINCT sorted shingle-set arrays.
+    // The global (doc_id, sh_hash) distinct exchange is gone — min over a
+    // multiset equals min over its set (MinHash is duplicate-invariant) and
+    // the per-doc dedup rides array_distinct inside the single aggregate.
+    // persist(): the table has three consumers (banding + both verify join
+    // sides); without it the md5-heavy shingle scan re-executes per
+    // consumer when exchange reuse misses (observed: two identical scan
+    // stages in the r5 plan). Scale note: this caches one array row per
+    // document (bounded by document length), the standard LSH working set;
+    // blocks release when the query's RDDs are GC'd.
+    val docSh = shingleHashesRaw(docs).groupBy("doc_id")
+      .agg(sort_array(array_distinct(collect_list(col("sh_hash")))).as("shs"))
+      .persist()
+    // minhashes map-side from the array (no k-fold crossJoin, no second
+    // aggregate): mh_i = min over the SAME distinct hash set as before
+    val mhCols = params.zipWithIndex.map { case ((ha, hb), i) =>
+      array_min(transform(col("shs"), h => (lit(ha) * h + lit(hb)) % MinhashP)).as(s"mh$i")
+    }
+    val wide = docSh.select(col("doc_id") +: mhCols: _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"mh${b * rowsPerBand + r}").cast("string")): _*).as("band_sig"))
+    }
+    val banded = wide
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_sig").as("band_sig"))
     val a = banded.as("a"); val b = banded.as("b")
     val cands = a.join(b, col("a.band") === col("b.band") &&
                           col("a.band_sig") === col("b.band_sig") &&
@@ -148,20 +190,18 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify with exact jaccard computed over the CANDIDATE pairs only —
-    // this (not a global all-pairs pass) is what makes LSH the scale path
-    val sh = shingleHashes(docs)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id") &&
-                         col("sa.sh_hash") === col("sb.sh_hash"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    // this (not a global all-pairs pass) is what makes LSH the scale path.
+    // size(array_intersect) over distinct arrays IS the old per-shared-
+    // shingle count(*), and size(shs) the old per-doc size — the jaccard
+    // double divides the same integers (r6; oracle text unchanged).
+    val inter = size(array_intersect(col("shs_a"), col("shs_b"))).cast("long")
+    cands
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .withColumn("inter", inter)
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        col("inter").cast("double") /
+          (size(col("shs_a")).cast("long") + size(col("shs_b")).cast("long") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
@@ -362,9 +402,17 @@ object DedupOps {
     * broadcast-probe with no shuffle before the per-doc aggregate. */
   def contaminatedDocs(docs: DataFrame, benchMod: Long = 35,
                        window: Int = 64, stride: Int = 16): DataFrame = {
-    val w = windowHashes(docs, window, stride)
-    val bench = w.filter(col("doc_id") % benchMod === 0).select("wh").distinct()
-    w.filter(col("doc_id") % benchMod =!= 0)
+    // r6: filter BEFORE windowing (guide §2.3 — push the cheap id predicate
+    // below the expensive explode+md5). A document's window hashes depend
+    // only on its own text, so windowing each disjoint slice directly is
+    // value-identical to windowing everything and filtering after — but the
+    // bench arm now explodes only its 1/benchMod of the corpus, and the
+    // shared full-corpus window subtree (previously computed once per arm
+    // when exchange reuse missed) is gone.
+    val bench = windowHashes(docs.filter(col("doc_id") % benchMod === 0),
+        window, stride)
+      .select("wh").distinct()
+    windowHashes(docs.filter(col("doc_id") % benchMod =!= 0), window, stride)
       .join(broadcast(bench), "wh")
       .groupBy("doc_id")
       .agg(countDistinct("wh").as("n_hits"), count(lit(1)).as("n_windows"))

@@ -131,12 +131,19 @@ object VectorOps {
     val crossing = (col("y1") > col(py)) =!= (col("y2") > col(py)) &&
       (col(px) < col("x1") + (col(py) - col("y1")) * col("dx") / col("dy"))
     val keys = pixels.columns.map(col).toSeq
+    // r6: the crossing predicate IS the join condition, so only the
+    // (pixel, edge) pairs that actually contribute a crossing flow into the
+    // aggregate (guide §2.3: aggregate fewer rows — previously every pruned
+    // pixel carried ALL |edges| rows into the hash aggregate and summed
+    // 0/1 indicators). count(*) over crossing rows == the old
+    // sum(when(crossing,1)) bit-for-bit, and a (pixel, geom) with zero
+    // crossings is outside either way (absent group == even count).
     pruned
       .join(broadcast(edges),
         col(px) >= col("bminx") && col(px) <= col("bmaxx") &&
-        col(py) >= col("bminy") && col(py) <= col("bmaxy"))
+        col(py) >= col("bminy") && col(py) <= col("bmaxy") && crossing)
       .groupBy(keys :+ col("geom_id"): _*)
-      .agg(sum(when(crossing, 1).otherwise(0)).as("crossings"))
+      .agg(count(lit(1)).as("crossings"))
       .filter(col("crossings") % 2 === 1)
       .drop("crossings")
   }
@@ -171,7 +178,12 @@ object VectorOps {
                   (s1 < 0 && s2 < 0 && s3 < 0 && s4 < 0)
     val edgeHit = bboxHit && !oneSide
     val keys = pixels.columns.map(col).toSeq
-    pruned.crossJoin(broadcast(edges))
+    // r6: join on (crossing OR edgeHit) instead of a cross join — only
+    // contributing (pixel, edge) rows reach the aggregate (guide §2.3).
+    // The per-row indicators are unchanged, so the aggregated crossing
+    // count and hit flag are bit-identical; a pixel joining no edge had
+    // crossings=0/hit=0 and was filtered out before too.
+    pruned.join(broadcast(edges), crossing || edgeHit)
       .groupBy(keys: _*)
       .agg(sum(when(crossing, 1).otherwise(0)).as("crossings"),
            max(when(edgeHit, 1).otherwise(0)).as("hit"))

@@ -775,6 +775,12 @@ object WarpOps {
       .withColumn("c0", expr(s"col div $factor") + phaseCase(phC, p => lit(phases(p)._1)))
     val taps = (-a + 1 to a)
     val offs = for (mi <- taps; mj <- taps) yield (mi, mj)
+    // r6 note: a 36-chained-broadcast-join gather (removing this explode +
+    // pivot-aggregate's shuffle entirely) was prototyped and MEASURED SLOWER
+    // (0.89 s -> 1.36 s min-of-3 at sf0.1): per-execution planning of 36
+    // joins costs more than the one small exchange it saves. The explode +
+    // single pivot aggregate stays (guide §1.2: empirical loop beats the
+    // first-principles ideal here).
     val exploded = keyed.select(col("*"),
         explode(array(offs.map { case (mi, mj) =>
           struct(lit(mi).as("dr"), lit(mj).as("dc")) }: _*)).as("n"))
