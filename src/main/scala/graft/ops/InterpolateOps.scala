@@ -68,15 +68,21 @@ object InterpolateOps {
 
     var remaining = r.df.filter(col("value") === nodata)
       .select(col("row"), col("col"), col("x"), col("y")).persist()
+    // r6: track the remaining count from the SAME action that materializes
+    // the persisted frame — the old per-round isEmpty probes were one extra
+    // Spark job each (guide §1: the loop's cost at small scale is job
+    // latency, not data)
+    var remainingN = remaining.count()
     var out = r.df.filter(col("value") =!= nodata)
     var b = bucket
-    while (!remaining.isEmpty) {
+    while (remainingN > 0) {
       val (filled, unsettled) = round(remaining, b)
       val next = unsettled.persist()
-      next.count() // materialize before unpersisting the parent
+      val nextN = next.count() // materialize before unpersisting the parent
       out = out.unionByName(filled)
       remaining.unpersist()
       remaining = next
+      remainingN = nextN
       b = math.min(b.toLong * 2, maxDim.toLong).toInt max 1
     }
     remaining.unpersist()
@@ -218,10 +224,12 @@ object InterpolateOps {
       else {
         val next = remaining.join(settled.select("row", "col", "quad"),
           Seq("row", "col", "quad"), "left_anti").persist()
-        next.count() // materialize before unpersisting the parent
+        // r6: emptiness from the materializing count itself (the separate
+        // isEmpty probe was one more job per escalation round)
+        val nextN = next.count() // materialize before unpersisting the parent
         remaining.unpersist()
         remaining = next
-        if (next.isEmpty) done = true
+        if (nextN == 0L) done = true
         b = math.min(b.toLong * 2, maxDim.toLong).toInt max 1
       }
     }

@@ -210,10 +210,14 @@ object KnnOps {
     import graft.core.Hex
     val res = 0 // scaling rides on cellSize; res-0 rotation is identity
     val bias = 1L << 28
-    def cell(x: Column, y: Column): Column =
-      Hex.cellIdColumn(x / cellSize * Hex.size(res), y / cellSize * Hex.size(res), res)
-    val tb = targets.withColumn("hb", cell(col("tx"), col("ty")))
-    val qc = queries.withColumn("hc", cell(col("qx"), col("qy")))
+    // r6: staged withCellId instead of the single-Column hex id — the
+    // inline form re-inlines the qf/rf trees into every cube-round branch
+    // (the documented Hex.withCellId task-binary blowup); bit-identical ids
+    def cell(df: DataFrame, x: Column, y: Column, out: String): DataFrame =
+      Hex.withCellId(df, x / cellSize * Hex.size(res), y / cellSize * Hex.size(res),
+        res, out)
+    val tb = cell(targets, col("tx"), col("ty"), "hb")
+    val qc = cell(queries, col("qx"), col("qy"), "hc")
       // unpack axial (q, r) from the id with plain bit arithmetic
       .withColumn("hq", shiftright(col("hc"), 5 + 29) - bias)
       .withColumn("hr", shiftright(col("hc"), 5).bitwiseAND(lit((1L << 29) - 1)) - bias)

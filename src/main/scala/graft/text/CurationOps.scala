@@ -82,9 +82,15 @@ object CurationOps {
   def packSequences(docs: DataFrame, budget: Int = 512,
                     buckets: Int = 32): DataFrame = {
     val spark = docs.sparkSession
+    // r6: persist the (doc_id, n_tokens) longs — this subtree (a full
+    // regexp tokenization pass over the corpus) is executed by the maxId
+    // action, the bucket-totals collect AND the final query; without the
+    // persist it tokenized the corpus three times (guide §5: cache only
+    // what is reused and expensive to recompute — two longs per document).
     val toks = TextOps.tokenCounts(docs)
       .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
       .filter(col("n_tokens") > 0)
+      .persist()
     val maxIdRow = toks.agg(max("doc_id")).head()
     // empty stream (no docs, or all zero-token): empty packing, same schema
     if (maxIdRow.isNullAt(0))
