@@ -70,8 +70,14 @@ object ClusterOps {
     * per-round join grows with the duplication factor). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // r6: symmetrize with ONE explode pass instead of a two-arm union —
+    // the union form executed the (possibly expensive) pairs subtree once
+    // per arm; the exploded struct pair emits both orientations from a
+    // single evaluation of each input row (same rows, same types)
+    val sym = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .repartition(col("src"))
       .persist()
     // init = the first propagation round, fused: label(v) = min over the

@@ -1020,10 +1020,14 @@ object WarpOps {
       .groupBy(expr(s"row div $factor").as("row"), expr(s"col div $factor").as("col"),
                col("value"))
       .agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("row", "col").orderBy(col("n").desc, col("value").asc)
-    val picked = counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("row"), col("col"), col("value"))
+    // r6: the top-1-per-block window (exchange + SORT + filter) is one
+    // hash aggregate — max_by over (n, -value) picks the same winner as
+    // ORDER BY n DESC, value ASC: largest count, then smallest value
+    // (keys are unique per block since value is a group key above), and a
+    // hash aggregate needs no sort (guide §2.4: fewer/cheaper exchanges).
+    val picked = counts
+      .groupBy("row", "col")
+      .agg(max_by(col("value"), struct(col("n"), (-col("value")).as("nv"))).as("value"))
     val blocks = spark.range(outW.toLong * outH)
       .select(expr(s"id div $outW").as("row"), (col("id") % outW).as("col"))
     val df = blocks.join(picked, Seq("row", "col"), "left")
