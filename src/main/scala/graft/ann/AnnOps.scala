@@ -106,12 +106,18 @@ object AnnOps {
     // partition count derives from the cluster (defaultParallelism), not a
     // local constant, and pins AQE from coalescing the tiny-byte exchange
     // under the compute-bound stage.
+    // persist: the banded frame feeds BOTH sides of the candidate
+    // self-join, and self-join exchange reuse is unreliable (observed on
+    // simhash/lshPairs: the subtree re-executed once per side) — one
+    // (embedding, norm, bucket) row per (vector, table), released with the
+    // query's RDDs
     vectors.select(col("vec_id"), col("embedding"),
         sqrt(norm2(col("embedding"))).as("nrm"),
         posexplode(graft.functions.LshBuckets.column(
           col("embedding"), nPlanes, nTables, dim)).as(Seq("tb", "bk")))
       .repartition(vectors.sparkSession.sparkContext.defaultParallelism,
         col("tb"), col("bk"))
+      .persist()
 
   def lshTopK(vectors: DataFrame, k: Int, nPlanes: Int = 4, nTables: Int = 8,
               dim: Int = 64): DataFrame = {

@@ -83,10 +83,15 @@ object ClusterOps {
     // init = the first propagation round, fused: label(v) = min over the
     // CLOSED neighborhood {v} ∪ N(v). One aggregate replaces the identity
     // init's distinct PLUS the first join round (near-clique duplicate
-    // graphs then converge in a single confirming round)
-    var (labels, releaseLabels) = checkpointWithRelease(
-      sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
-        .select(col("src").as("id"), least(col("src"), col("mn")).as("label")))
+    // graphs then converge in a single confirming round).
+    // r6: the init stays a LAZY plan over the persisted edge cache instead
+    // of paying its own checkpoint job — the first label-sum executes it
+    // once, and round 1 re-derives it from sym's cached blocks (a tiny
+    // post-cache aggregate). Rounds >= 1 still checkpoint: their lineage
+    // would otherwise grow by one join per round.
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label"))
+    var releaseLabels: () => Unit = () => ()
     // convergence invariant: labels only decrease, so sum(label) strictly
     // decreases until the fixpoint. Summed as DECIMAL(38,0): a Long sum
     // overflows (and throws, under ANSI) at ~1e9 vertices with ~1e10 ids —
@@ -99,8 +104,8 @@ object ClusterOps {
     // a separate isEmpty action (r6: one fewer Spark job per call)
     if (prevSum == null) {
       sym.unpersist()
-      // labels' checkpoint blocks stay resident (the caller still reads the
-      // returned frame; a localCheckpoint cannot be recomputed once freed)
+      // labels is a lazy plan over (the now-uncached) sym — still valid for
+      // the caller to read; it recomputes the empty frame from pairs
       return labels.select(col("id").as("doc_id"), col("label").as("cluster"))
     }
     var round = 0

@@ -281,7 +281,11 @@ object DedupOps {
     * (complete) for maxDist < SimhashBands. */
   def simhashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < SimhashBands, "pigeonhole completeness needs maxDist < bands")
-    val s = simhash(docs)
+    // r6: persist the per-doc fingerprints — the frame feeds BOTH sides of
+    // the band self-join, and without it the md5-token explode + 32-sum
+    // aggregate re-executes when exchange reuse misses (the lshPairs
+    // lesson); one long per document, released with the query's RDDs
+    val s = simhash(docs).persist()
     val bandWidth = SimhashBits / SimhashBands
     val banded = s.select(col("doc_id"), col("simhash"),
       explode(array((0 until SimhashBands).map(b =>

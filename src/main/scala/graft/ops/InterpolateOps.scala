@@ -29,10 +29,17 @@ object InterpolateOps {
     val maxDim = math.max(r.grid.width, r.grid.height)
     val validBase = r.df.filter(col("value") =!= nodata)
       .select(col("row").as("v_row"), col("col").as("v_col"), col("value").as("v_value"))
+    // r6: ONE upfront scan computes both guard counts — the previous
+    // validBase.isEmpty probe plus the loop-entry remaining.count() were
+    // two separate jobs over the same source (guide §1: at this scale the
+    // loop cost is job latency)
+    val cnt = r.df.agg(
+      count(when(col("value") =!= nodata, 1)).as("v"),
+      count(when(col("value") === nodata, 1)).as("m")).head()
     // all-nodata: nothing to interpolate from; the oracle (valid UNION
     // filled) is empty on this input, so return the empty frame with the
     // normal output schema rather than the untouched input
-    if (validBase.isEmpty)
+    if (cnt.getLong(0) == 0L)
       return Raster(r.df.filter(col("value") =!= nodata), r.grid)
 
     val ringOffsets = array((-1 to 1).flatMap(dr => (-1 to 1).map(dc =>
@@ -68,11 +75,11 @@ object InterpolateOps {
 
     var remaining = r.df.filter(col("value") === nodata)
       .select(col("row"), col("col"), col("x"), col("y")).persist()
-    // r6: track the remaining count from the SAME action that materializes
-    // the persisted frame — the old per-round isEmpty probes were one extra
-    // Spark job each (guide §1: the loop's cost at small scale is job
-    // latency, not data)
-    var remainingN = remaining.count()
+    // r6: the loop-entry count comes from the shared guard scan above; the
+    // persisted remainder materializes lazily inside round 1's own jobs.
+    // Per-round counts ride the materializing count() action (the old
+    // per-round isEmpty probes were one extra Spark job each).
+    var remainingN = cnt.getLong(1)
     var out = r.df.filter(col("value") =!= nodata)
     var b = bucket
     while (remainingN > 0) {
