@@ -39,17 +39,24 @@ object ClusterOps {
 
   val MaxRounds = 50
 
-  /** Eagerly localCheckpoint `df` and hand back a releaser for its blocks.
+  /** LAZILY localCheckpoint `df` and hand back a releaser for its blocks.
     * Dataset.unpersist() does NOT free a localCheckpoint (the checkpoint
     * persists its RDD directly, outside the CacheManager), so an iterative
     * loop would accrete one |V|-row block set per round until GC +
     * ContextCleaner got around to them. The releaser diffs the persistent-
-    * RDD registry around the (eager) checkpoint — safe here because the
-    * loop is the session's only activity between the two reads. */
+    * RDD registry around the checkpoint call — the underlying
+    * RDD.localCheckpoint() registers its persist immediately even with
+    * eager=false, and the loop is the session's only activity between the
+    * two reads. r6: eager=false so the caller's NEXT action (the per-round
+    * label-sum) materializes the checkpoint blocks inside its own job —
+    * the eager form paid a separate count() job per round for the same
+    * materialization (guide §1: at converged-loop scale the cost IS the
+    * per-round job latency). Callers must run an action that computes
+    * every partition (sum does) before relying on the truncated lineage. */
   private def checkpointWithRelease(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val cp = df.localCheckpoint()
+    val cp = df.localCheckpoint(eager = false)
     val added = sc.getPersistentRDDs.keySet -- before
     (cp, () => added.foreach(id =>
       sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false))))
@@ -148,6 +155,11 @@ object ClusterOps {
     * and one left join, both keyed on doc_id — at 100 TB the drop list
     * shuffles on the same key the corpus is already bucketed by. */
   def dedupedCorpus(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // `cl` feeds both join arms below; a persist() here was MEASURED
+    // NEUTRAL-to-negative in r6 (jobs 45 -> 49, tasks +252, wall within
+    // noise): the duplicated subtree is only the sizes aggregate + join
+    // over the already-checkpointed labels, and the extra InMemoryRelation
+    // disturbed the arms' broadcast planning. Left unpersisted.
     val cl = dupClusters(pairs)
     val drop = cl.filter(col("is_keeper") === 0L).select("doc_id")
     val keepMeta = cl.filter(col("is_keeper") === 1L)

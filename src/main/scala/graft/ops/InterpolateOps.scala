@@ -63,9 +63,19 @@ object InterpolateOps {
       val winners = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       // b >= maxDim: every pixel is in bucket (0,0), the ring saw ALL valid
       // pixels, so the winner is global regardless of distance.
+      // r6: the settled frame has TWO consumers that execute in DIFFERENT
+      // jobs — the round's anti-join count and the caller's final action on
+      // the accumulated fills — and by the time the final action runs, the
+      // round's `remaining` cache has been dropped, so the whole ring join
+      // + window re-executed from scratch (observed: the final count's job
+      // repeated every round's join). Persist the narrow winner projection
+      // (one bounded row per settled pixel); the blocks die with the query
+      // result's RDDs — never a cross-run cache.
       val settled =
-        if (b >= maxDim) winners
-        else winners.filter(col("d2") <= b.toLong * b)
+        (if (b >= maxDim) winners
+         else winners.filter(col("d2") <= b.toLong * b))
+          .select(col("row"), col("col"), col("x"), col("y"), col("v_value"))
+          .persist()
       val filled = settled.select(col("row"), col("col"), col("x"), col("y"),
                                   col("v_value").as("value"))
       val unsettled = remaining.join(
@@ -225,11 +235,24 @@ object InterpolateOps {
         .orderBy(col("d2"), col("v_row"), col("v_col"))
       val win = cand.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       val settled = if (last) win else win.filter(col("d2") <= b.toLong * b)
-      val newWinners = settled.select("row", "col", "quad", "v_row", "v_col", "v_value")
+      // r6: in a non-final round this frame has two consumers in different
+      // jobs (the escalation's anti-join count now, the final action's
+      // quadrant pivot later), and the later one re-executed the whole
+      // ring join + window because the round's `remaining` cache is gone
+      // by then — persist the narrow winner rows (the count below
+      // materializes them; blocks die with the query result's RDDs). The
+      // final round has a single consumer and needs no cache.
+      val newWinners = {
+        val nw = settled.select("row", "col", "quad", "v_row", "v_col", "v_value")
+        if (last) nw else nw.persist()
+      }
       winners = if (winners == null) newWinners else winners.unionByName(newWinners)
       if (last) done = true
       else {
-        val next = remaining.join(settled.select("row", "col", "quad"),
+        // anti-join through the PERSISTED winner frame (not `settled`
+        // directly): the count below then materializes the cache the final
+        // action reads, instead of executing the join subtree a second time
+        val next = remaining.join(newWinners.select("row", "col", "quad"),
           Seq("row", "col", "quad"), "left_anti").persist()
         // r6: emptiness from the materializing count itself (the separate
         // isEmpty probe was one more job per escalation round)
