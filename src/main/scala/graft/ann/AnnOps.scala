@@ -130,6 +130,13 @@ object AnnOps {
       .filter(col("q_id") =!= col("t_id"))
       .select(col("q_id"), col("t_id"),
         (dot(col("qe"), col("te")) / (col("qn") * col("tn"))).as("cos"))
+      // r6: ONE exchange keyed by q_id serves BOTH the pair dedup and the
+      // top-k window (guide §2.4 — hash partitioning on q_id satisfies the
+      // (q_id, t_id) aggregate's clustering too, and the window's). The
+      // default plan paid exchange-by-(q_id, t_id) THEN exchange-by-q_id;
+      // the lost map-side partial agg catches ~nothing here anyway because
+      // duplicate (q, t) hits live in different (tb, bk) partitions.
+      .repartition(col("q_id"))
       // multi-table duplicate hits carry identical cos: max == dedup
       .groupBy("q_id", "t_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("t_id"))
